@@ -1,0 +1,35 @@
+"""Test env: force CPU with 8 virtual devices so sharding tests run anywhere.
+
+Must run before the first `import jax` anywhere in the test process.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from huffmandecoderongpus_tpu import data as corpus_data  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def hello():
+    return corpus_data.load_test_data("hello")
+
+
+@pytest.fixture(scope="session")
+def paper1():
+    return corpus_data.load_test_data("paper1")
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+def small_corpora():
+    return [n for n in ["hello", "paper1", "news", "book2"] if corpus_data.huff_path(n).exists()]
