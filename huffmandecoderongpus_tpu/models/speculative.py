@@ -1,0 +1,39 @@
+"""Registry entries for the speculative parallel pipeline backends.
+
+The reference implements this algorithm once per backend (pes/fastgpu/
+fastgpuOpt1/opencl/pacc).  Here the *same* jitted program runs on any XLA
+backend — the TPU entry is the metric path; the CPU entry plays the role the
+pes/pacc builds play (same semantics, host execution)."""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from huffmandecoderongpus_tpu.models import register
+from huffmandecoderongpus_tpu.ops.speculative import (
+    decode_xla,
+    speculative_decode_numpy,
+)
+
+
+@register("pes_numpy", backend="numpy")
+def pes_numpy(hf, param=None) -> np.ndarray:
+    """Vectorized host execution of the 6-stage pipeline (pes.c:106-209 role)."""
+    return speculative_decode_numpy(hf)
+
+
+@register("spec_xla", backend="xla")
+def spec_xla(hf, param=None) -> np.ndarray:
+    """Single-device XLA pipeline on the default backend (fastgpu.cu role).
+    Timed calls include H2D/D2H transfer, matching the reference's
+    whole-approach timing."""
+    return decode_xla(hf)
+
+
+@register("spec_xla_cpu", backend="xla-cpu")
+def spec_xla_cpu(hf, param=None) -> np.ndarray:
+    """Same compiled program pinned to the host CPU backend (the pes/pacc
+    'same algorithm, different backend' role)."""
+    with jax.default_device(jax.devices("cpu")[0]):
+        return decode_xla(hf)

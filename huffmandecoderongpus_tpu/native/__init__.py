@@ -29,16 +29,29 @@ _p_u8 = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
 _p_i32 = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
 _p_u32 = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS")
 
+_p_u16 = np.ctypeslib.ndpointer(dtype=np.uint16, flags="C_CONTIGUOUS")
+_p_i64 = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+
 _SIGNATURES = {
     "huffc_simple_decode": ([_p_i32, _i64, _p_u8, _i64, _p_u8, _i64], _i64),
+    "huffc_simple_decode_rp": ([_p_i32, _i64, _p_u8, _i64, _p_u8, _i64], _i64),
+    "huffc_bigtable_decode_packed": ([_p_u16, _i32, _p_u8, _i64, _p_u8, _i64], _i64),
     "huffc_build_lut": ([_p_i32, _i64, _i32, _p_u8, _p_i32], _i64),
     "huffc_bigtable_decode": ([_p_u8, _p_i32, _i32, _p_u8, _i64, _p_u8, _i64], _i64),
     "huffc_multisym_decode": (
-        [_p_u8, _p_u8, _p_i32, _i32, _i32, _p_u8, _i64, _p_u8, _i64],
+        [_p_u8, _p_u8, _p_i32, _i32, _i32, _p_u8, _i64, _p_u8, _i64, _p_i64],
         _i64,
     ),
     "huffc_dfa_decode": (
-        [_p_u8, _p_u8, _p_i32, _i32, _i32, _p_u8, _i64, _p_u8, _i64],
+        [_p_u8, _p_u8, _p_i32, _i32, _i32, _p_u8, _i64, _p_u8, _i64, _p_i64, _p_i64],
+        _i64,
+    ),
+    "huffc_dfa_decode_k8": (
+        [_p_u8, _p_u8, _p_i32, _i32, _p_u8, _i64, _p_u8, _i64, _p_i64, _p_i64],
+        _i64,
+    ),
+    "huffc_vdfa_decode": (
+        [_p_u8, _p_u8, _p_i32, _p_i32, _p_i32, _i32, _p_u8, _i64, _p_u8, _i64, _p_i64, _p_i64],
         _i64,
     ),
     "huffc_tail_decode": ([_p_i32, _i64, _i64, _p_u8, _i64, _i64, _p_u8, _i64], _i64),
@@ -108,6 +121,32 @@ def simple_decode(hf) -> np.ndarray:
     return out[:n]
 
 
+def simple_decode_rp(hf) -> np.ndarray:
+    """Register-cached serial oracle (simpleDecodeRP semantics, mainrun.c:76-117)."""
+    lib = get_lib()
+    out = np.empty(hf.uncompressed_size + 8, dtype=np.uint8)
+    n = _check(
+        lib.huffc_simple_decode_rp(
+            hf.tree, hf.nodes, hf.payload_padded(), hf.bits, out, out.size
+        ),
+        "simple_decode_rp",
+    )
+    return out[:n]
+
+
+def bigtable_decode_packed(hf, lut_packed: np.ndarray, height: int) -> np.ndarray:
+    """Packed-u16-entry LUT serial decode (decodeBigtableV1, mainrun.c:142-195)."""
+    lib = get_lib()
+    out = np.empty(hf.uncompressed_size + 8, dtype=np.uint8)
+    n = _check(
+        lib.huffc_bigtable_decode_packed(
+            lut_packed, int(height), hf.payload_padded(4), hf.bits, out, out.size
+        ),
+        "bigtable_decode_packed",
+    )
+    return out[:n]
+
+
 def build_lut(tree: np.ndarray, height: int):
     """Full-height (sym, len) lookup table over h-bit LSB-first windows."""
     lib = get_lib()
@@ -160,6 +199,54 @@ def pack_codes(data: np.ndarray, code: np.ndarray, length: np.ndarray):
     if bits != total:
         raise RuntimeError(f"pack_codes wrote {bits} bits, expected {total}")
     return payload[: (total + 7) // 8], total
+
+
+def multisym_decode_raw(ms_syms, ms_count, ms_consumed, maxsym, h, data_padded, bits, capacity):
+    """Multi-symbol LUT main loop; returns (decoded_prefix, next_bit_pos)."""
+    lib = get_lib()
+    out = np.empty(capacity + 8, dtype=np.uint8)
+    pos = np.zeros(1, dtype=np.int64)
+    n = _check(
+        lib.huffc_multisym_decode(
+            ms_syms, ms_count, ms_consumed, maxsym, h, data_padded, bits, out, out.size, pos
+        ),
+        "multisym_decode",
+    )
+    return out[:n], int(pos[0])
+
+
+def dfa_decode_raw(dfa_syms, dfa_count, dfa_next, maxsym, k, data_padded, bits, capacity):
+    """DFA main loop; returns (decoded_prefix, next_bit_pos, final_state).
+    Dispatches to the byte-aligned fast path when k == 8."""
+    lib = get_lib()
+    out = np.empty(capacity + 8, dtype=np.uint8)
+    pos = np.zeros(1, dtype=np.int64)
+    state = np.zeros(1, dtype=np.int64)
+    if k == 8:
+        n = lib.huffc_dfa_decode_k8(
+            dfa_syms, dfa_count, dfa_next, maxsym, data_padded, bits, out, out.size, pos, state
+        )
+    else:
+        n = lib.huffc_dfa_decode(
+            dfa_syms, dfa_count, dfa_next, maxsym, k, data_padded, bits, out, out.size, pos, state
+        )
+    _check(n, "dfa_decode")
+    return out[:n], int(pos[0]), int(state[0])
+
+
+def vdfa_decode_raw(syms, count, nxt, base, width, maxsym, data_padded, bits, capacity):
+    """Variable-width DFA main loop (lin approach)."""
+    lib = get_lib()
+    out = np.empty(capacity + 8, dtype=np.uint8)
+    pos = np.zeros(1, dtype=np.int64)
+    state = np.zeros(1, dtype=np.int64)
+    n = _check(
+        lib.huffc_vdfa_decode(
+            syms, count, nxt, base, width, maxsym, data_padded, bits, out, out.size, pos, state
+        ),
+        "vdfa_decode",
+    )
+    return out[:n], int(pos[0]), int(state[0])
 
 
 def sum_bytes(data: np.ndarray) -> int:

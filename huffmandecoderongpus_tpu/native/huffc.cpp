@@ -42,6 +42,51 @@ int64_t huffc_simple_decode(const int32_t* tree, int64_t nodes,
     return n;
 }
 
+// Register-cached byte variant (simpleDecodeRP semantics, mainrun.c:76-117):
+// the current payload byte is held in a local and refreshed on byte crossings.
+int64_t huffc_simple_decode_rp(const int32_t* tree, int64_t nodes,
+                               const uint8_t* data, int64_t bits,
+                               uint8_t* out, int64_t out_capacity) {
+    int64_t pos = 0, n = 0;
+    int64_t curbyte = -1;
+    uint8_t reg = 0;
+    while (pos < bits) {
+        int64_t node = 0;
+        while (tree[node * 3 + 1] != -1) {
+            if (pos >= bits) return -2;
+            int64_t byte = pos >> 3;
+            if (byte != curbyte) { reg = data[byte]; curbyte = byte; }
+            int bit = (reg >> (pos & 7)) & 1;
+            node = tree[node * 3 + (bit ? 2 : 1)];
+            if (node < 0 || node >= nodes) return -3;
+            ++pos;
+        }
+        if (n >= out_capacity) return -4;
+        out[n++] = (uint8_t)tree[node * 3];
+    }
+    return n;
+}
+
+// Packed-entry LUT decode (decodeBigtableV1 semantics, mainrun.c:142-195):
+// each entry is a uint16 (sym << 8) | codelen.
+int64_t huffc_bigtable_decode_packed(const uint16_t* lut, int32_t h,
+                                     const uint8_t* data, int64_t bits,
+                                     uint8_t* out, int64_t out_capacity) {
+    const uint32_t mask = (h >= 32) ? 0xffffffffu : (((uint32_t)1 << h) - 1u);
+    int64_t pos = 0, n = 0;
+    while (pos < bits) {
+        int64_t byte = pos >> 3;
+        uint32_t window;
+        std::memcpy(&window, data + byte, 4);
+        window = (window >> (pos & 7)) & mask;
+        uint16_t e = lut[window];
+        if (n >= out_capacity) return -4;
+        out[n++] = (uint8_t)(e >> 8);
+        pos += (e & 0xff);
+    }
+    return (pos == bits) ? n : -5;
+}
+
 // Build the full-height lookup table: for every h-bit window w (LSB-first),
 // lut_sym[w] = first decoded symbol, lut_len[w] = its code length.
 // Windows that run past a leaf are fine (extra bits ignored); h must be >=
@@ -92,7 +137,8 @@ int64_t huffc_bigtable_decode(const uint8_t* lut_sym, const int32_t* lut_len,
 int64_t huffc_multisym_decode(const uint8_t* ms_syms, const uint8_t* ms_count,
                               const int32_t* ms_consumed, int32_t maxsym,
                               int32_t h, const uint8_t* data, int64_t bits,
-                              uint8_t* out, int64_t out_capacity) {
+                              uint8_t* out, int64_t out_capacity,
+                              int64_t* out_pos) {
     const uint32_t mask = (h >= 32) ? 0xffffffffu : (((uint32_t)1 << h) - 1u);
     int64_t pos = 0, n = 0;
     while (pos + h <= bits) {
@@ -107,9 +153,8 @@ int64_t huffc_multisym_decode(const uint8_t* ms_syms, const uint8_t* ms_count,
         n += cnt;
         pos += ms_consumed[window];
     }
-    // Serial tail for the final (< h)-bit span, one symbol at a time via the
-    // single-symbol part of the same window math: caller passes a plain LUT.
-    return n | ((int64_t)pos << 32);  // packed (pos<<32)|n, n < 2^32
+    *out_pos = pos;  // caller finishes the (< h)-bit tail serially
+    return n;
 }
 
 // DFA decode: state-transition tables built host-side (jump/lin approaches).
@@ -119,7 +164,8 @@ int64_t huffc_multisym_decode(const uint8_t* ms_syms, const uint8_t* ms_count,
 int64_t huffc_dfa_decode(const uint8_t* dfa_syms, const uint8_t* dfa_count,
                          const int32_t* dfa_next, int32_t maxsym, int32_t k,
                          const uint8_t* data, int64_t bits,
-                         uint8_t* out, int64_t out_capacity) {
+                         uint8_t* out, int64_t out_capacity,
+                         int64_t* out_pos, int64_t* out_state) {
     const uint32_t mask = (((uint32_t)1 << k) - 1u);
     int64_t pos = 0, n = 0;
     int64_t state = 0;
@@ -136,7 +182,63 @@ int64_t huffc_dfa_decode(const uint8_t* dfa_syms, const uint8_t* dfa_count,
         state = dfa_next[idx];
         pos += k;
     }
-    return n | ((int64_t)pos << 32);  // packed; caller finishes tail bits
+    *out_pos = pos;      // caller finishes tail bits from *out_state
+    *out_state = state;
+    return n;
+}
+
+// Byte-aligned DFA fast path for k == 8 (mirrors the reference's specialized
+// jumpbits==8 loop, jumptableapproach.c:173-258): chunks are whole payload
+// bytes, no shifting.
+int64_t huffc_dfa_decode_k8(const uint8_t* dfa_syms, const uint8_t* dfa_count,
+                            const int32_t* dfa_next, int32_t maxsym,
+                            const uint8_t* data, int64_t bits,
+                            uint8_t* out, int64_t out_capacity,
+                            int64_t* out_pos, int64_t* out_state) {
+    int64_t nbytes = bits >> 3;  // only whole bytes; caller handles the tail
+    int64_t n = 0, state = 0;
+    for (int64_t i = 0; i < nbytes; ++i) {
+        int64_t idx = (state << 8) | data[i];
+        int cnt = dfa_count[idx];
+        if (n + cnt > out_capacity) return -4;
+        std::memcpy(out + n, dfa_syms + idx * maxsym, (size_t)cnt);
+        n += cnt;
+        state = dfa_next[idx];
+    }
+    *out_pos = nbytes << 3;
+    *out_state = state;
+    return n;
+}
+
+// Variable-width DFA (linApproach semantics, linapproach.c:16-105: subtree
+// roots every k levels plus "telescoped" partial-depth roots for subtrees
+// shallower than k).  Each state has its own chunk width and a base offset
+// into the flat entry arrays.
+int64_t huffc_vdfa_decode(const uint8_t* syms, const uint8_t* count,
+                          const int32_t* next, const int32_t* base,
+                          const int32_t* width, int32_t maxsym,
+                          const uint8_t* data, int64_t bits,
+                          uint8_t* out, int64_t out_capacity,
+                          int64_t* out_pos, int64_t* out_state) {
+    int64_t pos = 0, n = 0, state = 0;
+    while (true) {
+        int32_t w = width[state];
+        if (pos + w > bits) break;
+        int64_t byte = pos >> 3;
+        uint32_t window;
+        std::memcpy(&window, data + byte, 4);
+        uint32_t chunk = (window >> (pos & 7)) & ((((uint32_t)1) << w) - 1u);
+        int64_t idx = base[state] + chunk;
+        int cnt = count[idx];
+        if (n + cnt > out_capacity) return -4;
+        std::memcpy(out + n, syms + idx * maxsym, (size_t)cnt);
+        n += cnt;
+        state = next[idx];
+        pos += w;
+    }
+    *out_pos = pos;
+    *out_state = state;
+    return n;
 }
 
 // Finish a partial decode bit by bit from bit `pos`, starting mid-walk at

@@ -16,6 +16,21 @@ import pytest  # noqa: E402
 from huffmandecoderongpus_tpu import data as corpus_data  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute big-corpus tests (run with RUN_SLOW=1)"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow; set RUN_SLOW=1 to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def hello():
     return corpus_data.load_test_data("hello")
