@@ -1,0 +1,5 @@
+"""`python -m huffmandecoderongpus_tpu` — the CLI driver."""
+
+from huffmandecoderongpus_tpu.harness.cli import main
+
+main()

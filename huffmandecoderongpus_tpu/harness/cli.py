@@ -1,0 +1,214 @@
+"""Command-line driver: the reference's test suites plus encode/decode.
+
+Suite-name parity with mainrun.c's dispatch (mainrun.c:512-636):
+``default hello peskjv peshello bigtable quickgraph1-3 graph1-4 kjvprof opt
+bts`` (+ ``testall``, defined at mainrun.c:443-461 but unreachable there).
+Decoder-slot mapping: the reference's per-backend slots (opencl/fastgpu =
+"the device build of the speculative pipeline") become our device decoders —
+``spec_xla`` always, plus ``spec_pallas`` where registered.  ``pes`` (host
+execution of the same algorithm) maps to ``pes_numpy``.
+
+New commands (the reference is decoder-only): ``encode``, ``decode``,
+``info``, ``corpora``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from huffmandecoderongpus_tpu import data as corpus
+from huffmandecoderongpus_tpu.harness.evaluate import REPEATS, evalandshow
+from huffmandecoderongpus_tpu.harness.timing import report_resolution
+from huffmandecoderongpus_tpu.harness.truncate import graphtest
+from huffmandecoderongpus_tpu.huffio.encoder import encode_bytes
+from huffmandecoderongpus_tpu.huffio.format import read_huff, write_huff
+from huffmandecoderongpus_tpu.huffio.tree import HuffTree
+from huffmandecoderongpus_tpu.models import all_decoders, get_decoder
+
+SUITES = [
+    "default", "hello", "peskjv", "peshello", "bigtable",
+    "quickgraph1", "quickgraph2", "quickgraph3",
+    "graph1", "graph2", "graph3", "graph4",
+    "kjvprof", "opt", "bts", "testall",
+]
+COMMANDS = ["encode", "decode", "info", "corpora", "decoders"]
+
+
+def _device_decoders() -> list:
+    """The device builds of the speculative pipeline (the opencl/fastgpu
+    slots).  spec_pallas is included when its registration is present."""
+    registry = all_decoders()
+    names = [n for n in ("spec_xla", "spec_pallas") if n in registry]
+    return [registry[n] for n in names]
+
+
+def _show_info(td) -> None:
+    print(td.info())
+
+
+def run_suite(name: str, repeats: int = REPEATS) -> None:
+    load = corpus.load_test_data
+    if name == "default":
+        # Tree diagnostics for the hello fixture (mainrun.c:512-525).
+        hello = load("hello")
+        t = HuffTree(hello.cd.tree)
+        print(t.format_codes())
+        print(t.format_table())
+        print(f" tablenodes : {t.size}")
+        for b in (1, 2, 3, 4):
+            print(f"tablegroups  {b} : {t.num_groups(b)} ")
+        print(t.num_groups(4))
+        return
+
+    if name == "hello":
+        hello = load("hello")
+        evalandshow(get_decoder("simple"), hello, repeats=repeats)
+        for d in _device_decoders():
+            evalandshow(d, hello, repeats=repeats)
+        evalandshow(get_decoder("pes_numpy"), hello, repeats=repeats)
+        return
+
+    if name in ("peskjv", "peshello"):
+        td = load("kjv.txt" if name == "peskjv" else "hello")
+        evalandshow(get_decoder("pes_numpy"), td, repeats=repeats)
+        return
+
+    if name == "bigtable":
+        # The headline benchmark (mainrun.c:541-588): every backend of the
+        # speculative pipeline + the serial baselines, on the 5 main corpora.
+        tds = [load(n) for n in ("paper1", "hello", "news", "kjv.txt", "book2")]
+        for td in tds:
+            _show_info(td)
+        rows = _device_decoders() + [
+            get_decoder("pes_numpy"),
+            get_decoder("simple"),
+            get_decoder("bigtable_multisym"),
+            get_decoder("bigtable_simple"),
+        ]
+        for d in rows:
+            for td in tds:
+                evalandshow(d, td, repeats=repeats)
+        return
+
+    if name.startswith("quickgraph") or name.startswith("graph"):
+        quick = name.startswith("quickgraph")
+        td = load("paper1" if quick else "kjv.txt")
+        incs = 10000 if quick else 500000
+        which = name[len("quickgraph" if quick else "graph"):]
+        if which == "1":
+            graphtest(get_decoder("simple"), td, incs, repeats=repeats)
+        elif which == "2":
+            for d in _device_decoders():
+                graphtest(d, td, incs, repeats=repeats)
+        elif which == "3":
+            graphtest(get_decoder("bigtable_multisym"), td, incs, repeats=repeats)
+        elif which == "4" and not quick:
+            graphtest(get_decoder("pes_numpy"), td, incs, repeats=repeats)
+        else:
+            raise SystemExit(f"unknown graph suite: {name}")
+        return
+
+    if name == "kjvprof":
+        td = load("kjv.txt")
+        for d in _device_decoders():
+            evalandshow(d, td, repeats=repeats)
+        return
+
+    if name == "opt":
+        # Baseline vs optimized device pipeline (mainrun.c:617-623).
+        td = load("kjv.txt")
+        for d in _device_decoders():
+            evalandshow(d, td, repeats=repeats)
+        return
+
+    if name == "bts":
+        for n in ("paper1", "hello", "news", "kjv.txt", "book2"):
+            evalandshow(get_decoder("bigtable_simple"), load(n), repeats=repeats)
+        return
+
+    if name == "testall":
+        # mainrun.c:443-461: floors + serial baselines + jumpbits sweeps.
+        for cname in ("paper1", "hello", "news", "kjv.txt", "book2"):
+            td = load(cname)
+            evalandshow(get_decoder("justreaddata"), td, withcheck=False, repeats=repeats)
+            evalandshow(get_decoder("simple"), td, repeats=repeats)
+            evalandshow(get_decoder("bigtable_v1"), td, repeats=repeats)
+            evalandshow(get_decoder("bigtable_multisym"), td, repeats=repeats)
+            for k in range(1, 15):
+                evalandshow(get_decoder("jumptable"), td, param=k, repeats=repeats)
+            for k in range(1, 15):
+                evalandshow(get_decoder("lin"), td, param=k, repeats=repeats)
+        return
+
+    raise SystemExit(f"unknown test: {name} (suites: {' '.join(SUITES)})")
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(
+        prog="huffmandecoderongpus_tpu",
+        description="TPU-native parallel Huffman codec: benchmark suites and codec commands",
+    )
+    p.add_argument("test", nargs="?", default="default",
+                   help=f"suite ({' '.join(SUITES)}) or command ({' '.join(COMMANDS)})")
+    p.add_argument("args", nargs="*", help="command arguments")
+    p.add_argument("--repeats", type=int, default=REPEATS,
+                   help="timed runs per decoder (reference REPEATS=25)")
+    p.add_argument("--decoder", default="simple", help="decoder name for `decode`")
+    ns = p.parse_args(argv)
+
+    if ns.test == "encode":
+        if len(ns.args) < 1:
+            raise SystemExit("usage: encode <input> [output.huff]")
+        src = ns.args[0]
+        dst = ns.args[1] if len(ns.args) > 1 else src + ".huff"
+        raw = np.fromfile(src, dtype=np.uint8)
+        hf = encode_bytes(raw)
+        write_huff(dst, hf)
+        ratio = hf.file_bytes() / max(raw.size, 1)
+        print(f"{src}: {raw.size} -> {hf.file_bytes()} bytes "
+              f"({ratio:.3f}), {hf.nodes} nodes, {hf.bits} bits")
+        return
+
+    if ns.test == "decode":
+        if len(ns.args) < 1:
+            raise SystemExit("usage: decode <input.huff> [output]")
+        src = ns.args[0]
+        hf = read_huff(src)
+        out = get_decoder(ns.decoder)(hf)
+        dst = ns.args[1] if len(ns.args) > 1 else None
+        if dst:
+            np.asarray(out, dtype=np.uint8).tofile(dst)
+            print(f"{src}: {hf.payload_bytes} -> {out.size} bytes -> {dst}")
+        else:
+            sys.stdout.buffer.write(bytes(np.asarray(out, dtype=np.uint8)))
+        return
+
+    if ns.test == "info":
+        for name in (ns.args or corpus.available_corpora()):
+            hf = read_huff(name) if name.endswith(".huff") else corpus.load_huff(name)
+            t = HuffTree(hf.tree)
+            print(f"{name}: nodes {hf.nodes}, bits {hf.bits}, "
+                  f"uncompressedsize {hf.uncompressed_size}, height {t.height}, "
+                  f"mindepth {t.min_depth}")
+        return
+
+    if ns.test == "corpora":
+        for name in corpus.available_corpora():
+            print(name)
+        return
+
+    if ns.test == "decoders":
+        for name, d in sorted(all_decoders().items()):
+            print(f"{name:>20}  backend={d.backend}")
+        return
+
+    print(f"running test: {ns.test}", file=sys.stderr)
+    print(report_resolution(), file=sys.stderr)
+    run_suite(ns.test, repeats=ns.repeats)
+
+
+if __name__ == "__main__":
+    main()

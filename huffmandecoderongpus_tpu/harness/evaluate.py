@@ -1,0 +1,132 @@
+"""The benchmark harness: verify once, then report the minimum of N timed runs.
+
+Semantics parity with the reference's evaluate()
+(/root/reference/framework/decodeUtil.c:30-70): one checked run (byte-compared
+against ground truth, abort on mismatch), then ``REPEATS`` timed runs keeping
+the minimum wall-clock seconds.  The first (verify) run participates in the
+minimum exactly as in the reference — for jitted decoders it carries compile
+time, which the min-of-25 policy discards naturally.
+
+Decoders here are functional (they return fresh arrays) so there is no stale
+output buffer to clear between runs; the reference's clearUnCompressedData
+(decodeUtil.c:38,55) exists only because its decoders write in place.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+
+import numpy as np
+
+from huffmandecoderongpus_tpu.harness.timing import Timer, gb_per_s
+
+#: Sample size for the minimum-time policy (decodeUtil.h:26).
+REPEATS = 25
+
+
+class DecodeMismatch(RuntimeError):
+    """Decoded bytes differ from ground truth (decodeUtil.c:47-52 abort)."""
+
+
+def compare_uncompressed(got: np.ndarray, want: np.ndarray, max_report: int = 10,
+                         out=None) -> int:
+    """Byte-compare decoded output against ground truth.
+
+    Returns the number of differing positions, reporting the first
+    ``max_report`` to ``out`` (compareUnCompressedData, huffdata.c:183-203).
+    A size mismatch is reported and counted as a difference.
+    """
+    got = np.asarray(got, dtype=np.uint8)
+    want = np.asarray(want, dtype=np.uint8)
+    if out is None:
+        out = sys.stderr
+    diffs = 0
+    if got.size != want.size:
+        print(f"size mismatch: got {got.size}, expected {want.size}", file=out)
+        diffs += 1
+    n = min(got.size, want.size)
+    pos = np.nonzero(got[:n] != want[:n])[0]
+    for p in pos[:max_report]:
+        print(f"  diff at {int(p)}: got {int(got[p])}, expected {int(want[p])}", file=out)
+    diffs += int(pos.size)
+    if diffs:
+        print(f"total differences: {diffs}", file=out)
+    return diffs
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalResult:
+    """Outcome of one evaluate() call."""
+
+    decoder: str
+    dataset: str
+    min_seconds: float
+    times: tuple[float, ...]  # all timed runs, in order (run 0 = verify run)
+    uncompressed_bytes: int
+    compressed_bytes: int
+
+    @property
+    def min_ms(self) -> float:
+        return self.min_seconds * 1e3
+
+    @property
+    def gb_per_s(self) -> float:
+        """Decoded-output throughput (bytes produced per second)."""
+        return gb_per_s(self.uncompressed_bytes, self.min_seconds)
+
+
+def evaluate(decoder, td, withcheck: bool = True, repeats: int = REPEATS,
+             param=None) -> EvalResult:
+    """Verify + min-of-``repeats`` benchmark of one decoder on one dataset
+    (evaluate, decodeUtil.c:30-70).
+
+    ``decoder`` is a models.Decoder (or any callable ``(hf, param) -> bytes``);
+    ``td`` is a data.TestData.  Raises :class:`DecodeMismatch` if the checked
+    run differs from ground truth.
+    """
+    name = getattr(decoder, "name", getattr(decoder, "__name__", "decoder"))
+    checks = getattr(decoder, "checks_output", True) and withcheck
+    t = Timer()
+    times = []
+
+    t.start()
+    out = decoder(td.cd, param)
+    t.stop()
+    times.append(t.seconds)
+
+    if checks:
+        if compare_uncompressed(out, td.ucd) != 0:
+            raise DecodeMismatch(f"problem with: {name} on {td.name}")
+
+    for _ in range(repeats):
+        t.start()
+        decoder(td.cd, param)
+        t.stop()
+        times.append(t.seconds)
+
+    return EvalResult(
+        decoder=name,
+        dataset=td.name,
+        min_seconds=min(times),
+        times=tuple(times),
+        uncompressed_bytes=int(td.cd.uncompressed_size),
+        compressed_bytes=int(td.cd.payload_bytes),
+    )
+
+
+def evalandshow(decoder, td, withcheck: bool = True, repeats: int = REPEATS,
+                param=None, out=None) -> EvalResult:
+    """Run evaluate() and print one result row (evalandshow, mainrun.c:412-420):
+    parameterized decoders show the param column and seconds; plain decoders
+    show milliseconds.  We add a GB/s column the reference lacks."""
+    use_param = param if param is not None else getattr(decoder, "param", None)
+    r = evaluate(decoder, td, withcheck=withcheck, repeats=repeats, param=use_param)
+    name = getattr(decoder, "name", str(decoder))
+    if use_param is not None:
+        print(f"{name:>17} {td.name:>12}  {use_param:2d} {r.min_seconds:.9f}"
+              f"   {r.gb_per_s:8.4f} GB/s", file=out)
+    else:
+        print(f"{name:>17} {td.name:>12}     {r.min_ms:.9f} ms"
+              f"   {r.gb_per_s:8.4f} GB/s", file=out)
+    return r

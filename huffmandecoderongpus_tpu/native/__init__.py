@@ -57,6 +57,7 @@ _SIGNATURES = {
     "huffc_tail_decode": ([_p_i32, _i64, _i64, _p_u8, _i64, _i64, _p_u8, _i64], _i64),
     "huffc_pack_codes": ([_p_u8, _i64, _p_u32, _p_i32, _p_u8], _i64),
     "huffc_sum_bytes": ([_p_u8, _i64], _i64),
+    "huffc_truncate_scan": ([_p_i32, _i64, _p_u8, _i64, _p_i64], _i64),
 }
 
 
@@ -247,6 +248,19 @@ def vdfa_decode_raw(syms, count, nxt, base, width, maxsym, data_padded, bits, ca
         "vdfa_decode",
     )
     return out[:n], int(pos[0]), int(state[0])
+
+
+def truncate_scan(tree: np.ndarray, data_padded: np.ndarray, target_bits: int):
+    """Find the last symbol boundary <= target_bits (setTargetSizes semantics,
+    mainrun.c:361-385).  Returns (exact_bits, completed_symbols)."""
+    lib = get_lib()
+    tree = np.ascontiguousarray(tree, dtype=np.int32)
+    vals = np.zeros(2, dtype=np.int64)
+    _check(
+        lib.huffc_truncate_scan(tree, tree.shape[0], data_padded, target_bits, vals),
+        "truncate_scan",
+    )
+    return int(vals[0]), int(vals[1])
 
 
 def sum_bytes(data: np.ndarray) -> int:

@@ -286,6 +286,31 @@ int64_t huffc_pack_codes(const uint8_t* data, int64_t n,
     return total_bits;
 }
 
+// Truncation scan (setTargetSizes semantics, mainrun.c:361-385): walk the
+// stream up to `target_bits`, tracking the last bit position at which a
+// codeword completed and how many symbols completed by then.  Writes
+// out_vals[0] = exact bit count of the truncated stream (last completed
+// bit position + 1), out_vals[1] = completed symbol count.
+int64_t huffc_truncate_scan(const int32_t* tree, int64_t nodes,
+                            const uint8_t* data, int64_t target_bits,
+                            int64_t* out_vals) {
+    int64_t pos = 0, node = 0, nsym = 0, lastokay = -1;
+    while (pos < target_bits) {
+        int bit = (data[pos >> 3] >> (pos & 7)) & 1;
+        node = tree[node * 3 + (bit ? 2 : 1)];
+        if (node < 0 || node >= nodes) return -3;
+        if (tree[node * 3 + 1] == -1) {  // leaf: codeword completed at pos
+            ++nsym;
+            node = 0;
+            lastokay = pos;
+        }
+        ++pos;
+    }
+    out_vals[0] = lastokay + 1;
+    out_vals[1] = nsym;
+    return nsym;
+}
+
 // Bandwidth floor (justreaddata, mainrun.c:28-36): sum all payload bytes.
 int64_t huffc_sum_bytes(const uint8_t* data, int64_t n) {
     int64_t s = 0;

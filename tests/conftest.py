@@ -5,10 +5,20 @@ Must run before the first `import jax` anywhere in the test process.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the benchmark environment points JAX at the real TPU (a PJRT
+# plugin registered by a sitecustomize hook that *also* sets the jax_platforms
+# config var, shadowing any JAX_PLATFORMS we export).  Running the test
+# matrix's many small compiles over the device tunnel is painfully slow, so
+# override the config var directly before any backend initializes.  Tests
+# exercise program *semantics*; the real chip is covered by bench.py.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
