@@ -31,6 +31,17 @@ def spec_xla(hf, param=None) -> np.ndarray:
     return decode_xla(hf)
 
 
+@register("spec_sharded", backend="xla-sharded")
+def spec_sharded(hf, param=None) -> np.ndarray:
+    """Block-parallel decode over a device mesh (no reference counterpart —
+    the inter-device axis SURVEY §2.3 requires).  ``param`` optionally caps
+    the number of mesh devices."""
+    from huffmandecoderongpus_tpu.parallel import decode_sharded, make_mesh
+
+    mesh = make_mesh(param) if param is not None else None
+    return decode_sharded(hf, mesh=mesh)
+
+
 @register("spec_xla_cpu", backend="xla-cpu")
 def spec_xla_cpu(hf, param=None) -> np.ndarray:
     """Same compiled program pinned to the host CPU backend (the pes/pacc

@@ -88,8 +88,19 @@ def speculative_decode_xla(
 ):
     """Single-device XLA pipeline. Returns (decoded uint8[size], found_size).
 
-    ``found_size`` reproduces the reference's findmax result (pes.c:98-104);
-    callers verify it equals ``size``.
+    Stages 4-6 are *redesigned* for the TPU memory system: instead of the
+    reference's scatter-based index labeling (calcbitsindex propagates output
+    indices onto chain bits, pes.c:73-85, then calcresult scatters symbols,
+    pes.c:87-96), each **output byte queries its own bit position**: output
+    index i starts at bit 0 and, for every set bit k of i, jumps forward by
+    the level-k doubling span — the same binary decomposition walked in the
+    opposite direction, as pure gathers over ``size`` elements rather than
+    scatters over ``bits`` elements (4-8x fewer, and TPU gathers vectorize
+    where scatters serialize).
+
+    ``found_size`` reproduces the reference's findmax role (pes.c:98-104) as
+    a stream-consistency check: it equals ``size`` iff the chain of ``size``
+    codewords ends exactly at ``bits``.
     """
     b = jnp.arange(bits, dtype=jnp.int32)
 
@@ -111,21 +122,19 @@ def speculative_decode_xla(
     for _ in range(max(levels - 1, 0)):
         steps.append(double(steps[-1]))
 
-    # Stage 4: calcbitsindex — top-down binary decomposition (pes.c:73-85).
-    # Writers never collide: every labeled bit lies on the single true chain.
-    idx = jnp.full(bits, -1, dtype=jnp.int32).at[0].set(0)
+    # Stages 4+5 fused, gather-only: output index i -> its codeword's bit
+    # position via top-down binary decomposition over the doubling levels.
+    i = jnp.arange(size, dtype=jnp.int32)
+    pos = jnp.zeros(size, dtype=jnp.int32)
     for k in range(levels - 1, -1, -1):
-        s = steps[k]
-        ok = (idx != -1) & (s != -1) & (b + s < bits)
-        tgt = jnp.where(ok, b + s, bits)  # out-of-range => dropped
-        idx = idx.at[tgt].set(idx + (1 << k), mode="drop")
+        delta = jnp.take(steps[k], pos, mode="clip")
+        take = ((i >> k) & 1) == 1
+        pos = jnp.where(take, pos + jnp.maximum(delta, 0), pos)
+    result = jnp.take(sym, pos, mode="clip")
 
-    # Stage 5: calcresult — scatter symbols of labeled offsets (pes.c:87-96).
-    tgt = jnp.where(idx != -1, idx, size)
-    result = jnp.zeros(size, dtype=jnp.uint8).at[tgt].set(sym, mode="drop")
-
-    # Stage 6: findmax (pes.c:98-104).
-    found_size = jnp.max(idx) + 1
+    # Stage 6 (findmax role): the chain must end exactly at `bits`.
+    last_end = pos[-1] + jnp.take(ln, pos[-1], mode="clip") if size > 0 else jnp.int32(0)
+    found_size = jnp.where(last_end == bits, size, -1)
     return result, found_size
 
 
