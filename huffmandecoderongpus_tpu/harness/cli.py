@@ -157,19 +157,26 @@ def main(argv=None) -> None:
     p.add_argument("--repeats", type=int, default=REPEATS,
                    help="timed runs per decoder (reference REPEATS=25)")
     p.add_argument("--decoder", default="simple", help="decoder name for `decode`")
+    p.add_argument("--index", type=int, metavar="K", default=None,
+                   help="encode: also write a .huffidx sidecar every K symbols")
     ns = p.parse_args(argv)
 
     if ns.test == "encode":
         if len(ns.args) < 1:
-            raise SystemExit("usage: encode <input> [output.huff]")
+            raise SystemExit("usage: encode <input> [output.huff] [--index K]")
         src = ns.args[0]
         dst = ns.args[1] if len(ns.args) > 1 else src + ".huff"
         raw = np.fromfile(src, dtype=np.uint8)
-        hf = encode_bytes(raw)
+        hf = encode_bytes(raw, block_symbols=ns.index)
         write_huff(dst, hf)
+        if hf.index is not None:
+            from huffmandecoderongpus_tpu.huffio.sidecar import index_path, write_index
+
+            write_index(index_path(dst), hf.index[0], hf.index[1])
         ratio = hf.file_bytes() / max(raw.size, 1)
         print(f"{src}: {raw.size} -> {hf.file_bytes()} bytes "
-              f"({ratio:.3f}), {hf.nodes} nodes, {hf.bits} bits")
+              f"({ratio:.3f}), {hf.nodes} nodes, {hf.bits} bits"
+              + (f", index every {hf.index[1]} symbols" if hf.index else ""))
         return
 
     if ns.test == "decode":

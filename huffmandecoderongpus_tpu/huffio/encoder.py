@@ -46,12 +46,18 @@ def pack_symbol_codes(
     return np.packbits(bitarr, bitorder="little"), total_bits
 
 
-def encode_bytes(data, tree: np.ndarray | None = None) -> HuffFile:
+def encode_bytes(data, tree: np.ndarray | None = None,
+                 block_symbols: int | None = None) -> HuffFile:
     """Compress a byte sequence into an in-memory :class:`HuffFile`.
 
     If ``tree`` is None, a Huffman tree is built from the data's byte
     frequencies.  The result round-trips bit-exactly through any of the
     framework's decoders and serializes to the reference container format.
+
+    ``block_symbols``: when set, a symbol-aligned block index (every
+    ``block_symbols`` symbols) is attached as :attr:`HuffFile.index` so
+    block-parallel decoders skip entry discovery; persist it with
+    :func:`huffio.sidecar.write_index`.
     """
     data = _as_u8(data)
     if data.size == 0:
@@ -64,4 +70,10 @@ def encode_bytes(data, tree: np.ndarray | None = None) -> HuffFile:
     if missing.size:
         raise ValueError(f"tree has no code for symbols {missing.tolist()}")
     payload, bits = pack_symbol_codes(data, code, length)
-    return HuffFile(tree=tree, bits=bits, uncompressed_size=int(data.size), payload=payload)
+    index = None
+    if block_symbols is not None:
+        from huffmandecoderongpus_tpu.huffio.sidecar import build_block_index
+
+        index = (build_block_index(length[data], block_symbols), int(block_symbols))
+    return HuffFile(tree=tree, bits=bits, uncompressed_size=int(data.size),
+                    payload=payload, index=index)

@@ -38,6 +38,9 @@ class HuffFile:
     bits: int  # exact number of payload bits
     uncompressed_size: int  # decoded byte count
     payload: np.ndarray  # (ceil(bits/8),) uint8, LSB-first bit packing
+    #: optional `.huffidx` sidecar: (block bit offsets int64 (n,), block_symbols)
+    #: — not part of the serialized container (see huffio/sidecar.py)
+    index: tuple | None = None
 
     def __post_init__(self) -> None:
         self.tree = np.ascontiguousarray(self.tree, dtype=np.int32)
@@ -74,8 +77,11 @@ class HuffFile:
         return self.header_bytes() + self.payload_bytes
 
 
-def read_huff(path) -> HuffFile:
-    """Parse a `.huff` file (semantics of loadHuffFile, huffdata.c:27-68)."""
+def read_huff(path, load_index: bool = True) -> HuffFile:
+    """Parse a `.huff` file (semantics of loadHuffFile, huffdata.c:27-68).
+
+    When ``load_index`` is set and a ``<path>idx`` sidecar exists, it is
+    attached as :attr:`HuffFile.index` for block-parallel decoders."""
     with open(path, "rb") as f:
         raw = f.read()
     if raw[:4] != MAGIC:
@@ -101,7 +107,13 @@ def read_huff(path) -> HuffFile:
     tree[:, 2] = rec[:, 5:9].copy().view(">i4").reshape(nodes)
     off += 9 * nodes
     payload = np.frombuffer(raw, dtype=np.uint8, count=nbytes, offset=off).copy()
-    return HuffFile(tree=tree, bits=bits, uncompressed_size=uncompressed_size, payload=payload)
+    index = None
+    if load_index:
+        from huffmandecoderongpus_tpu.huffio.sidecar import find_index
+
+        index = find_index(path)
+    return HuffFile(tree=tree, bits=bits, uncompressed_size=uncompressed_size,
+                    payload=payload, index=index)
 
 
 def write_huff(path, hf: HuffFile) -> None:

@@ -71,4 +71,10 @@ def all_decoders() -> dict[str, "Decoder"]:
 
 def _ensure_loaded() -> None:
     # importing the submodules runs their @register decorators
-    from huffmandecoderongpus_tpu.models import serial, dfa, speculative, onethread  # noqa: F401
+    from huffmandecoderongpus_tpu.models import (  # noqa: F401
+        serial,
+        dfa,
+        speculative,
+        onethread,
+        lanedfa,
+    )

@@ -1,0 +1,22 @@
+"""Registry entry for the lane-parallel bit-DFA device decoder."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from huffmandecoderongpus_tpu.models import register
+from huffmandecoderongpus_tpu.ops.lanedfa import decode_lanedfa, decode_lanedfa_indexed
+
+
+@register("lane_dfa", backend="xla")
+def lane_dfa(hf, param=None) -> np.ndarray:
+    """Bit-serial DFA over G parallel lanes (device counterpart of
+    jumptableapproach.c/linapproach.c; see ops/lanedfa.py for the TPU-shaped
+    design rationale).  Uses the `.huffidx` sidecar when the HuffFile carries
+    one (skipping entry discovery); ``param`` optionally sets the lane
+    count for the discovery path."""
+    index = getattr(hf, "index", None)
+    if index is not None:
+        offsets, k = index
+        return decode_lanedfa_indexed(hf, offsets, k)
+    return decode_lanedfa(hf, lanes=param)
