@@ -20,3 +20,15 @@ def lane_dfa(hf, param=None) -> np.ndarray:
         offsets, k = index
         return decode_lanedfa_indexed(hf, offsets, k)
     return decode_lanedfa(hf, lanes=param)
+
+
+@register("lane_dfa_pallas", backend="pallas")
+def lane_dfa_pallas(hf, param=None) -> np.ndarray:
+    """Mosaic-kernel lane DFA: table lookups ride tpu.dynamic_gather
+    (ops/pallas_lanedfa.py).  Falls back to the interpreter off-TPU."""
+    import jax
+
+    from huffmandecoderongpus_tpu.ops.pallas_lanedfa import decode_lanedfa_pallas
+
+    interpret = jax.default_backend() not in ("tpu",)
+    return decode_lanedfa_pallas(hf, lanes=param, interpret=interpret)

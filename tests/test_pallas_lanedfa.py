@@ -1,0 +1,55 @@
+"""Pallas lane-DFA kernels, exercised in interpreter mode on CPU.
+
+Numerical semantics must match the XLA lane-DFA exactly; the real Mosaic
+compile path is covered on TPU by bench.py and the registry entry.
+"""
+
+import numpy as np
+import pytest
+
+from huffmandecoderongpus_tpu.huffio.encoder import encode_bytes
+from huffmandecoderongpus_tpu.models import get_decoder
+from huffmandecoderongpus_tpu.ops.pallas_lanedfa import (
+    LANE_TILE,
+    _pad_table,
+    decode_lanedfa_pallas,
+)
+from huffmandecoderongpus_tpu.ops.lanedfa import build_lane_dfa
+
+
+def test_pad_table_layout(paper1):
+    dfa = build_lane_dfa(paper1.cd.tree)
+    chunks = _pad_table(dfa.entry)
+    assert chunks.shape[1] == 128
+    flat = chunks.reshape(-1)[: dfa.entry.shape[0]]
+    np.testing.assert_array_equal(flat, dfa.entry)
+
+
+def test_pallas_paper1(paper1):
+    out = decode_lanedfa_pallas(paper1.cd, lanes=LANE_TILE, interpret=True)
+    np.testing.assert_array_equal(out, paper1.ucd)
+
+
+def test_pallas_matches_xla_on_random(rng):
+    raw = rng.integers(0, 256, size=40000, dtype=np.uint8)
+    hf = encode_bytes(raw)
+    from huffmandecoderongpus_tpu.ops.lanedfa import decode_lanedfa
+
+    a = decode_lanedfa_pallas(hf, lanes=LANE_TILE, interpret=True)
+    b = decode_lanedfa(hf, lanes=64)
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, raw)
+
+
+def test_pallas_registry_entry(paper1):
+    out = get_decoder("lane_dfa_pallas")(paper1.cd)
+    np.testing.assert_array_equal(out, paper1.ucd)
+
+
+def test_pallas_bad_header_raises(paper1):
+    hf = paper1.cd
+    broken = type(hf)(tree=hf.tree, bits=hf.bits,
+                      uncompressed_size=hf.uncompressed_size + 1,
+                      payload=hf.payload)
+    with pytest.raises(RuntimeError, match="decoded"):
+        decode_lanedfa_pallas(broken, lanes=LANE_TILE, interpret=True)
