@@ -130,6 +130,10 @@ def main() -> None:
     from huffmandecoderongpus_tpu.harness import compare_uncompressed, evaluate
     from huffmandecoderongpus_tpu.models import get_decoder
 
+    from huffmandecoderongpus_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()  # XLA programs survive across bench runs
+
     td = data.load_test_data("kjv.txt")
     floor = _floor_seconds()
     print(f"# relay floor {floor*1e3:.1f} ms", file=sys.stderr)

@@ -34,7 +34,7 @@ SUITES = [
     "graph1", "graph2", "graph3", "graph4",
     "kjvprof", "opt", "bts", "testall",
 ]
-COMMANDS = ["encode", "decode", "info", "corpora", "decoders"]
+COMMANDS = ["encode", "decode", "info", "corpora", "decoders", "prof"]
 
 
 def _device_decoders() -> list:
@@ -147,6 +147,19 @@ def run_suite(name: str, repeats: int = REPEATS) -> None:
 
 
 def main(argv=None) -> None:
+    # Honor an explicit JAX_PLATFORMS even where a device plugin's
+    # sitecustomize has already pinned the config var past the env.
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
     p = argparse.ArgumentParser(
         prog="huffmandecoderongpus_tpu",
         description="TPU-native parallel Huffman codec: benchmark suites and codec commands",
@@ -210,6 +223,20 @@ def main(argv=None) -> None:
     if ns.test == "decoders":
         for name, d in sorted(all_decoders().items()):
             print(f"{name:>20}  backend={d.backend}")
+        return
+
+    if ns.test == "prof":
+        # per-stage device timing breakdown (openclapproach.c event-profiling
+        # role); usage: prof [corpus] [speculative|lanedfa]
+        from huffmandecoderongpus_tpu.harness.profiling import (
+            format_report, profile_lanedfa, profile_speculative)
+
+        name = ns.args[0] if ns.args else "paper1"
+        which = ns.args[1] if len(ns.args) > 1 else "lanedfa"
+        td = corpus.load_test_data(name)
+        fn = profile_speculative if which.startswith("spec") else profile_lanedfa
+        print(f"{which} stage breakdown on {name}:")
+        print(format_report(fn(td.cd)))
         return
 
     print(f"running test: {ns.test}", file=sys.stderr)
