@@ -22,6 +22,15 @@ def lane_dfa(hf, param=None) -> np.ndarray:
     return decode_lanedfa(hf, lanes=param)
 
 
+@register("lane_dfa_sync", backend="xla")
+def lane_dfa_sync(hf, param=None) -> np.ndarray:
+    """Lane DFA with self-synchronizing entry discovery — (1+eps)x the main
+    scan instead of the height-fold candidate cost (ops/lanedfa_sync.py)."""
+    from huffmandecoderongpus_tpu.ops.lanedfa_sync import decode_lanedfa_sync
+
+    return decode_lanedfa_sync(hf, lanes=param)
+
+
 @register("lane_dfa_pallas", backend="pallas")
 def lane_dfa_pallas(hf, param=None) -> np.ndarray:
     """Mosaic-kernel lane DFA: table lookups ride tpu.dynamic_gather
