@@ -205,8 +205,15 @@ def candidate_scan_pallas(bits_t, entry_tab_chunks, *, B, H, N, G,
 
 def decode_lanedfa_pallas(hf, lanes: int | None = None,
                           check_size: bool = True,
-                          interpret: bool = False) -> np.ndarray:
-    """Pallas lane-DFA decode (entry discovery + main scan on device)."""
+                          interpret: bool = False,
+                          discovery: str = "sync") -> np.ndarray:
+    """Pallas lane-DFA decode.
+
+    ``discovery="sync"`` (default): one Pallas main scan from offset 0,
+    then the XLA self-synchronizing short scans + splice
+    (ops/lanedfa_sync.py) — the short scans are too small to benefit from
+    Mosaic.  ``discovery="candidates"``: the full Pallas candidate kernel.
+    """
     dfa = build_lane_dfa(hf.tree)
     H = max(dfa.height, 1)
     if hf.bits < LANE_TILE * H:
@@ -222,15 +229,25 @@ def decode_lanedfa_pallas(hf, lanes: int | None = None,
     bits_t = jnp.asarray(mat)
     tab = jnp.asarray(_pad_table(dfa.entry))
 
-    cnt, ex = candidate_scan_pallas(bits_t, tab, B=B, H=H, N=hf.bits, G=G,
-                                    interpret=interpret)
-    entry_off, base, n, total = _compose(cnt, ex, G=G)
+    if discovery == "sync":
+        from huffmandecoderongpus_tpu.ops.lanedfa_sync import discover_and_splice
+
+        zero = jnp.zeros(G, dtype=jnp.int32)
+        sym0, valid0 = lane_scan_pallas(bits_t, tab, zero, B=B, H=H,
+                                        N=hf.bits, G=G, interpret=interpret)
+        flat_tab = jnp.asarray(dfa.entry)
+        sym, valid, base, n, total = discover_and_splice(
+            bits_t, flat_tab, sym0, valid0, B=B, H=H, N=hf.bits, G=G)
+    else:
+        cnt, ex = candidate_scan_pallas(bits_t, tab, B=B, H=H, N=hf.bits,
+                                        G=G, interpret=interpret)
+        entry_off, base, n, total = _compose(cnt, ex, G=G)
+        sym, valid = lane_scan_pallas(bits_t, tab, entry_off, B=B, H=H,
+                                      N=hf.bits, G=G, interpret=interpret)
     if check_size and int(total) != hf.uncompressed_size:
         raise RuntimeError(
             f"decoded {int(total)} symbols, header says {hf.uncompressed_size}")
 
-    sym, valid = lane_scan_pallas(bits_t, tab, entry_off, B=B, H=H,
-                                  N=hf.bits, G=G, interpret=interpret)
     sym_t = np.asarray(sym).T
     valid_t = np.asarray(valid).T
     out = sym_t[valid_t]
