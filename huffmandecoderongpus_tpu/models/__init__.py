@@ -9,7 +9,7 @@ reference times whole `*Approach` functions including cudaMemcpy).
 
 Mapping to the reference's 14 registered decoders:
 
-  justreaddata            -> justreaddata (native), justreaddata_xla (device)
+  justreaddata            -> justreaddata  (native bandwidth floor)
   simpleDecode/Byte       -> simple
   simpleDecodeRP          -> simple_rp
   decodeBigtableV1        -> bigtable_v1   (packed u16 entries)
@@ -19,10 +19,13 @@ Mapping to the reference's 14 registered decoders:
   linApproach             -> lin           (param = jumpbits)
   onethread (CUDA <<<1,1>>>) -> onethread_device (1 TPU scalar core, while_loop)
   pes (CPU, serial)       -> pes_numpy     (vectorized host execution)
-  fastgpu (CUDA)          -> spec_xla      (single-chip XLA pipeline)
-  fastgpuOpt1 (CUDA opt)  -> spec_pallas / spec_xla_blocked (optimized paths)
+  fastgpu (CUDA)          -> spec_xla      (single-chip XLA speculative pipeline)
+  fastgpuOpt1 (CUDA opt)  -> lane_dfa / lane_dfa_sync / lane_dfa_pallas
+                             (the TPU-shaped optimized device decoders)
   opencl                  -> spec_xla_cpu  (same program, CPU backend)
   pacc (OpenACC)          -> covered by the backend-portable jnp pipeline
+
+Beyond the reference (multi-device): spec_sharded (mesh/shard_map blocks).
 """
 
 from __future__ import annotations
