@@ -20,3 +20,11 @@ Layering (bottom-up):
 __version__ = "0.1.0"
 
 from huffmandecoderongpus_tpu.huffio.format import HuffFile, read_huff, write_huff  # noqa: F401
+from huffmandecoderongpus_tpu.huffio.encoder import encode_bytes  # noqa: F401
+
+
+def get_decoder(name: str):
+    """Look up a decoder from the zoo (lazy import of the registry)."""
+    from huffmandecoderongpus_tpu.models import get_decoder as _g
+
+    return _g(name)

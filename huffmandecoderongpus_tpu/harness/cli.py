@@ -34,7 +34,7 @@ SUITES = [
     "graph1", "graph2", "graph3", "graph4",
     "kjvprof", "opt", "bts", "testall",
 ]
-COMMANDS = ["encode", "decode", "info", "corpora", "decoders", "prof"]
+COMMANDS = ["encode", "decode", "info", "corpora", "decoders", "prof", "scaling"]
 
 
 def _device_decoders() -> list:
@@ -223,6 +223,16 @@ def main(argv=None) -> None:
     if ns.test == "decoders":
         for name, d in sorted(all_decoders().items()):
             print(f"{name:>20}  backend={d.backend}")
+        return
+
+    if ns.test == "scaling":
+        # mesh-size sweep on the block-parallel decoder (BASELINE north star)
+        from huffmandecoderongpus_tpu.harness.scaling import format_sweep, scaling_sweep
+
+        name = ns.args[0] if ns.args else "paper1"
+        td = corpus.load_test_data(name)
+        print(f"scaling sweep on {name}:")
+        print(format_sweep(scaling_sweep(td.cd, td.ucd, repeats=ns.repeats)))
         return
 
     if ns.test == "prof":

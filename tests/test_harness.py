@@ -122,3 +122,20 @@ def test_cli_hello_suite(capsys):
     main(["hello", "--repeats", "1"])
     out = capsys.readouterr().out
     assert "simple" in out and "spec_xla" in out and "pes_numpy" in out
+
+
+def test_scaling_sweep(paper1):
+    from huffmandecoderongpus_tpu.harness.scaling import format_sweep, scaling_sweep
+
+    pts = scaling_sweep(paper1.cd, paper1.ucd, sizes=[1, 2], repeats=1)
+    assert [p.devices for p in pts] == [1, 2]
+    assert pts[0].efficiency == 1.0
+    assert "efficiency" in format_sweep(pts)
+
+
+def test_package_root_exports(hello):
+    import huffmandecoderongpus_tpu as ht
+
+    hf = ht.encode_bytes(hello.ucd)
+    out = ht.get_decoder("simple")(hf)
+    np.testing.assert_array_equal(out, hello.ucd)
