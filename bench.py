@@ -116,10 +116,17 @@ def _lane_candidate(td, pallas: bool):
 
 
 CANDIDATES = [
-    ("lane_dfa_pallas", lambda td: _lane_candidate(td, pallas=True)),
     ("lane_dfa", lambda td: _lane_candidate(td, pallas=False)),
     ("spec_xla", lambda td: _spec_xla_candidate(td)),
 ]
+
+# A *failed* Mosaic remote-compile has been observed to wedge this
+# environment's device relay (everything hangs afterwards), so the Pallas
+# candidate only runs when explicitly requested.
+import os as _os
+
+if _os.environ.get("HUFF_BENCH_PALLAS", "") not in ("", "0"):
+    CANDIDATES.insert(0, ("lane_dfa_pallas", lambda td: _lane_candidate(td, pallas=True)))
 
 
 def main() -> None:

@@ -38,10 +38,12 @@ COMMANDS = ["encode", "decode", "info", "corpora", "decoders", "prof", "scaling"
 
 
 def _device_decoders() -> list:
-    """The device builds of the speculative pipeline (the opencl/fastgpu
-    slots).  spec_pallas is included when its registration is present."""
+    """The device decoders filling the reference's opencl/fastgpu/
+    fastgpuOpt1 suite slots: the speculative pipeline plus the optimized
+    lane-DFA builds."""
     registry = all_decoders()
-    names = [n for n in ("spec_xla", "spec_pallas") if n in registry]
+    names = [n for n in ("spec_xla", "lane_dfa_sync", "lane_dfa_pallas")
+             if n in registry]
     return [registry[n] for n in names]
 
 

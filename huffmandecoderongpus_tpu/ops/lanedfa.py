@@ -71,21 +71,29 @@ class LaneDFA:
 
 def build_lane_dfa(tree: np.ndarray) -> LaneDFA:
     """Build the fused table from the reference node-array tree layout
-    (huffdata.h:12-16: [sym, izero, ione], row 0 root, leaf <=> izero==-1)."""
+    (huffdata.h:12-16: [sym, izero, ione], row 0 root, leaf <=> izero==-1).
+
+    Only internal nodes are ever DFA states (a leaf transition folds into
+    emit + root-reset), so states are renumbered to the internal nodes —
+    halving the table and thus the per-step gather-chunk cost."""
     from huffmandecoderongpus_tpu.huffio.tree import table_height, table_min_depth
 
     tree64 = np.ascontiguousarray(tree, dtype=np.int64)
     n = tree64.shape[0]
-    if n > STATE_MASK:
-        raise ValueError(f"{n} nodes exceed the {STATE_MASK}-state encoding")
-    entry = np.zeros(2 * n, dtype=np.int32)
+    internal = tree64[:, 1] != -1
+    n_states = max(int(internal.sum()), 1)
+    if n_states > STATE_MASK:
+        raise ValueError(f"{n_states} states exceed the {STATE_MASK}-state encoding")
+    state_of = np.cumsum(internal) - 1  # original node -> packed state id
+    if internal.any() and state_of[0] != 0:
+        raise ValueError("root must be node 0 (huffdata.h layout)")
+    entry = np.zeros(2 * n_states, dtype=np.int32)
     for bit in (0, 1):
-        child = tree64[:, 1 + bit]
+        child = tree64[internal, 1 + bit]
         child_safe = np.clip(child, 0, n - 1)
         leaf = tree64[child_safe, 1] == -1
         sym = tree64[child_safe, 0] & 0xFF
-        val = np.where(leaf, (sym << 16) | EMIT_BIT, child_safe)
-        val = np.where(child == -1, 0, val)  # leaf rows are never walked from
+        val = np.where(leaf, (sym << 16) | EMIT_BIT, state_of[child_safe])
         entry[bit::2] = val.astype(np.int32)
     t32 = np.ascontiguousarray(tree, dtype=np.int32)
     return LaneDFA(entry=entry, nodes=n, height=table_height(t32),

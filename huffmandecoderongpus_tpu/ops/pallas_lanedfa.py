@@ -199,6 +199,93 @@ def candidate_scan_pallas(bits_t, entry_tab_chunks, *, B, H, N, G,
     )(entry_tab_chunks, bits_t)
 
 
+def _indexed_kernel(tab_ref, len_ref, bits_ref, sym_ref, valid_ref, *, steps):
+    """Symbol-aligned lanes (sidecar path): lane g starts on a codeword
+    boundary at row 0 and ends exactly at row len_ref[g]."""
+    lane_len = len_ref[0, :].reshape(8, CHUNK)
+
+    def step(j, node):
+        bit = bits_ref[j, :].reshape(8, CHUNK).astype(jnp.int32)
+        e = _chunked_lookup(tab_ref, node * 2 + bit)
+        active = j < lane_len
+        emit = active & ((e & EMIT_BIT) != 0)
+        nxt = jnp.where(active, e & STATE_MASK, node)
+        sym_ref[j, :] = (e >> 16).astype(jnp.uint8).reshape(LANE_TILE)
+        valid_ref[j, :] = emit.reshape(LANE_TILE)
+        return nxt
+
+    jax.lax.fori_loop(0, steps, step, jnp.zeros((8, CHUNK), dtype=jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("B", "G", "interpret"))
+def lane_scan_indexed_pallas(bits_t, entry_tab_chunks, lane_len, *, B, G,
+                             interpret=False):
+    """Pallas indexed scan: (B, G) bits, per-lane exact lengths."""
+    kern = functools.partial(_indexed_kernel, steps=B)
+    return pl.pallas_call(
+        kern,
+        grid=(G // LANE_TILE,),
+        in_specs=[
+            pl.BlockSpec((entry_tab_chunks.shape[0], CHUNK), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANE_TILE), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, LANE_TILE), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, LANE_TILE), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, LANE_TILE), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, G), jnp.uint8),
+            jax.ShapeDtypeStruct((B, G), jnp.bool_),
+        ],
+        interpret=interpret,
+    )(entry_tab_chunks, lane_len[None, :], bits_t)
+
+
+def decode_lanedfa_indexed_pallas(hf, offsets, block_symbols: int,
+                                  check_size: bool = True,
+                                  interpret: bool = False) -> np.ndarray:
+    """Sidecar-indexed Pallas decode: no discovery, exact per-lane counts."""
+    from huffmandecoderongpus_tpu.huffio.bitio import unpack_bits
+    from huffmandecoderongpus_tpu.ops.lanedfa import decode_lanedfa_indexed
+
+    offsets = np.asarray(offsets, dtype=np.int64)
+    G0 = offsets.shape[0]
+    if G0 < LANE_TILE // 4:  # too few blocks to be worth a kernel launch
+        return decode_lanedfa_indexed(hf, offsets, block_symbols,
+                                      check_size=check_size)
+    dfa = build_lane_dfa(hf.tree)
+    ends = np.append(offsets[1:], hf.bits)
+    lens = ends - offsets
+    if np.any(lens < 0) or (G0 and offsets[0] != 0):
+        raise ValueError("corrupt block index: offsets not increasing from 0")
+    B = int(lens.max(initial=1))
+    G = -(-G0 // LANE_TILE) * LANE_TILE  # pad with zero-length lanes
+
+    flat = np.zeros(hf.bits + B, dtype=np.uint8)
+    flat[: hf.bits] = unpack_bits(hf.payload, hf.bits)
+    offs_pad = np.zeros(G, dtype=np.int64)
+    offs_pad[:G0] = offsets
+    lens_pad = np.zeros(G, dtype=np.int64)
+    lens_pad[:G0] = lens
+    idx = offs_pad[None, :] + np.arange(B)[:, None]
+    mat = flat[idx]
+
+    sym, valid = lane_scan_indexed_pallas(
+        jnp.asarray(mat), jnp.asarray(_pad_table(dfa.entry)),
+        jnp.asarray(lens_pad, dtype=jnp.int32), B=B, G=G, interpret=interpret)
+    out = np.asarray(sym).T[np.asarray(valid).T]
+    if check_size and out.size != hf.uncompressed_size:
+        raise RuntimeError(
+            f"decoded {out.size} symbols, header says {hf.uncompressed_size}")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Host wrapper
 
