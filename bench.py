@@ -115,7 +115,28 @@ def _lane_candidate(td, pallas: bool):
     return run, materialize
 
 
+def _lane_sync_candidate(td):
+    """Self-synchronizing lane-DFA flow (multi-dispatch host orchestration;
+    its internal readbacks make the returned fence trivially ready)."""
+    import numpy as np
+
+    from huffmandecoderongpus_tpu.ops.lanedfa_sync import decode_lanedfa_sync
+
+    state = {}
+
+    def run():
+        out = decode_lanedfa_sync(td.cd)
+        state["out"] = out
+        return np.int64(out.size), out
+
+    def materialize(out):
+        return out
+
+    return run, materialize
+
+
 CANDIDATES = [
+    ("lane_dfa_sync", _lane_sync_candidate),
     ("lane_dfa", lambda td: _lane_candidate(td, pallas=False)),
     ("spec_xla", lambda td: _spec_xla_candidate(td)),
 ]
@@ -137,9 +158,14 @@ def main() -> None:
     from huffmandecoderongpus_tpu.harness import compare_uncompressed, evaluate
     from huffmandecoderongpus_tpu.models import get_decoder
 
-    from huffmandecoderongpus_tpu.utils import enable_compile_cache
+    import os
 
-    enable_compile_cache()  # XLA programs survive across bench runs
+    if os.environ.get("HUFF_BENCH_COMPILE_CACHE", "") not in ("", "0"):
+        # opt-in: the persistent cache is suspected of interacting badly
+        # with this environment's remote-compile relay
+        from huffmandecoderongpus_tpu.utils import enable_compile_cache
+
+        enable_compile_cache()
 
     td = data.load_test_data("kjv.txt")
     floor = _floor_seconds()
