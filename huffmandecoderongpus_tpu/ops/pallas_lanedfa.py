@@ -286,6 +286,51 @@ def decode_lanedfa_indexed_pallas(hf, offsets, block_symbols: int,
     return out
 
 
+def _compact_kernel(cum_ref, sym_ref, out_ref, *, steps, out_rows):
+    """Per-column stable compaction as gathers (no scatter):
+
+    out[i, g] = sym[r, g] where r is the row of column g's (i+1)-th
+    emission — found by binary search over the column's inclusive emission
+    prefix-count `cum` using axis-0 dynamic_gather (the per-column gather
+    Mosaic supports).  Rows past the column's count read garbage that the
+    caller masks via the counts.
+    """
+    want = jax.lax.broadcasted_iota(jnp.int32, (out_rows, LANE_TILE), 0) + 1
+    # branchless lower bound: pos = #rows with cum[row] < want
+    pos = jnp.zeros((out_rows, LANE_TILE), dtype=jnp.int32)
+    k = 1 << max((steps).bit_length() - 1, 0)
+    while k:
+        npos = pos + k
+        idx = jnp.minimum(npos - 1, steps - 1)
+        c = jnp.take_along_axis(cum_ref[:, :], idx, axis=0)
+        pos = jnp.where((npos <= steps) & (c < want), npos, pos)
+        k >>= 1
+    row = jnp.minimum(pos, steps - 1)
+    out_ref[:, :] = jnp.take_along_axis(sym_ref[:, :], row, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("steps", "G", "out_rows", "interpret"))
+def compact_pallas(cum, sym, *, steps, G, out_rows, interpret=False):
+    """Compact (steps, G) padded emissions to (out_rows, G) dense-per-column
+    symbols on device.  ``cum`` is the inclusive per-column emission count
+    (jnp.cumsum(valid, 0)); rows >= count are unspecified."""
+    kern = functools.partial(_compact_kernel, steps=steps, out_rows=out_rows)
+    return pl.pallas_call(
+        kern,
+        grid=(G // LANE_TILE,),
+        in_specs=[
+            pl.BlockSpec((steps, LANE_TILE), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((steps, LANE_TILE), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((out_rows, LANE_TILE), lambda t: (0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((out_rows, G), sym.dtype),
+        interpret=interpret,
+    )(cum, sym)
+
+
 # ---------------------------------------------------------------------------
 # Host wrapper
 

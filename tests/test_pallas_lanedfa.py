@@ -53,3 +53,31 @@ def test_pallas_bad_header_raises(paper1):
                       payload=hf.payload)
     with pytest.raises(RuntimeError, match="decoded"):
         decode_lanedfa_pallas(broken, lanes=LANE_TILE, interpret=True)
+
+
+def test_compact_pallas_interpret(rng):
+    import jax.numpy as jnp
+
+    from huffmandecoderongpus_tpu.ops.pallas_lanedfa import compact_pallas
+
+    steps, G, out_rows = 77, LANE_TILE, 40
+    valid = rng.random((steps, G)) < 0.3
+    sym = rng.integers(0, 256, (steps, G), np.uint8)
+    cum = jnp.cumsum(jnp.asarray(valid.astype(np.int32)), axis=0)
+    out = np.asarray(compact_pallas(cum, jnp.asarray(sym), steps=steps, G=G,
+                                    out_rows=out_rows, interpret=True))
+    for g in range(0, G, 97):
+        ref = sym[:, g][valid[:, g]]
+        n = min(ref.size, out_rows)
+        np.testing.assert_array_equal(out[:n, g], ref[:n])
+
+
+def test_indexed_pallas_interpret(rng):
+    from huffmandecoderongpus_tpu.huffio.encoder import encode_bytes
+    from huffmandecoderongpus_tpu.ops.pallas_lanedfa import (
+        decode_lanedfa_indexed_pallas)
+
+    raw = rng.integers(0, 256, size=300000, dtype=np.uint8)
+    hf = encode_bytes(raw, block_symbols=1024)  # ~293 blocks -> pallas path
+    out = decode_lanedfa_indexed_pallas(hf, *hf.index, interpret=True)
+    np.testing.assert_array_equal(out, raw)
