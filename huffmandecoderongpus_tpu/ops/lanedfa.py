@@ -123,12 +123,19 @@ def small_gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 # Bit-matrix layout
 
 
-def bits_matrix(payload: np.ndarray, bits: int, lanes: int, halo: int):
+def bits_matrix(payload: np.ndarray, bits: int, lanes: int, halo: int,
+                round_to: int = 1):
     """(B + halo, G) uint8 bit matrix: element [j, g] is stream bit
     ``g*B + j`` (so rows >= B replicate the head of the next lane); the tail
-    past the stream end is zero.  Returns (matrix, B)."""
+    past the stream end is zero.  Returns (matrix, B).
+
+    ``round_to`` buckets the per-lane width B upward so nearby stream sizes
+    share one compiled program (the scans mask by the true bit count) —
+    without it the graphtest truncation sweeps recompile at every size."""
     arr = unpack_bits(payload, bits)
     B = -(-bits // lanes)
+    if round_to > 1:
+        B = -(-B // round_to) * round_to
     flat = np.zeros(lanes * B + halo, dtype=np.uint8)
     flat[:bits] = arr
     # column g is the view flat[g*B : g*B + B + halo] (overlapping windows)
@@ -291,7 +298,7 @@ def decode_lanedfa(hf, lanes: int | None = None, entries=None,
     # entry offsets live in [0, H): a lane must be at least H bits wide or a
     # chain could skip it entirely and the composition would break
     G = max(1, min(G, hf.bits // H if hf.bits >= H else 1))
-    mat, B = bits_matrix(hf.payload, hf.bits, G, H)
+    mat, B = bits_matrix(hf.payload, hf.bits, G, H, round_to=512)
     bits_t = jnp.asarray(mat)
     tab = jnp.asarray(dfa.entry)
 

@@ -205,7 +205,7 @@ def decode_lanedfa_sync(hf, lanes: int | None = None,
     G = pick_lanes(hf.bits) if lanes is None else int(lanes)
     H = max(dfa.height, 1)
     G = max(1, min(G, hf.bits // H if hf.bits >= H else 1))
-    mat, B = bits_matrix(hf.payload, hf.bits, G, H)
+    mat, B = bits_matrix(hf.payload, hf.bits, G, H, round_to=512)
     bits_t = jnp.asarray(mat)
     tab = jnp.asarray(dfa.entry)
 

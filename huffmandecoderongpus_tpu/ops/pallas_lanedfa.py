@@ -357,7 +357,7 @@ def decode_lanedfa_pallas(hf, lanes: int | None = None,
     G = pick_lanes(hf.bits, max_lanes=1 << 14) if lanes is None else int(lanes)
     G = max(LANE_TILE, min(G, max(hf.bits // H, 1)))
     G = (G // LANE_TILE) * LANE_TILE
-    mat, B = bits_matrix(hf.payload, hf.bits, G, H)
+    mat, B = bits_matrix(hf.payload, hf.bits, G, H, round_to=512)
     bits_t = jnp.asarray(mat)
     tab = jnp.asarray(_pad_table(dfa.entry))
 

@@ -105,7 +105,8 @@ def test_lanedfa_with_precomputed_entries(paper1):
 
     dfa = build_lane_dfa(paper1.cd.tree)
     G, H = 32, max(dfa.height, 1)
-    mat, B = bits_matrix(paper1.cd.payload, paper1.cd.bits, G, H)
+    # round_to must match decode_lanedfa's bucketing for identical lanes
+    mat, B = bits_matrix(paper1.cd.payload, paper1.cd.bits, G, H, round_to=512)
     cnt, ex = _candidate_scan(jnp.asarray(mat), jnp.asarray(dfa.entry),
                               B=B, H=H, N=paper1.cd.bits, G=G)
     entry_off, base, n, total = _compose(cnt, ex, G=G)
