@@ -42,6 +42,16 @@ def spec_sharded(hf, param=None) -> np.ndarray:
     return decode_sharded(hf, mesh=mesh)
 
 
+@register("lane_sharded", backend="xla-sharded")
+def lane_sharded(hf, param=None) -> np.ndarray:
+    """Lane-DFA decode with lanes sharded over the device mesh
+    (parallel/lane_sharded.py) — the performance multi-chip path."""
+    from huffmandecoderongpus_tpu.parallel import decode_lane_sharded, make_mesh
+
+    mesh = make_mesh(param) if param is not None else None
+    return decode_lane_sharded(hf, mesh=mesh)
+
+
 @register("spec_xla_cpu", backend="xla-cpu")
 def spec_xla_cpu(hf, param=None) -> np.ndarray:
     """Same compiled program pinned to the host CPU backend (the pes/pacc

@@ -1,0 +1,161 @@
+"""Multi-device lane-DFA decode: the lane axis sharded over the mesh.
+
+The single-device lane decoder (ops/lanedfa.py) already splits the stream
+into G halo'd lanes with per-lane exit maps.  Multi-chip is then just a
+two-level composition of the same maps:
+
+  1. The (B+H, G) bit matrix is sharded over its lane axis — each device
+     holds G/D contiguous lane columns (halo included, so no neighbor
+     exchange is ever needed for the scans).
+  2. Each shard runs the candidate scan locally and folds its own lanes'
+     maps into a shard-level map: for each of the H entry offsets of its
+     FIRST lane, (exit offset into the next shard's first lane, symbols).
+  3. One `all_gather` moves the D x H x 2 shard maps (a few hundred ints)
+     over ICI; every device composes them identically to find its true
+     entry offset and global symbol base — the same stitching pattern as
+     parallel/block_decode.py, now layered on lanes.
+  4. The main scan runs locally from the composed entries; padded
+     emissions come back sharded in lane order and the host compacts.
+
+Compare the reference's multi-device story: none (SURVEY §2.3) — its
+device-side parallelism stops at one GPU grid.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from huffmandecoderongpus_tpu.ops.lanedfa import (
+    EMIT_BIT,
+    STATE_MASK,
+    build_lane_dfa,
+    bits_matrix,
+    pick_lanes,
+    small_gather,
+)
+from huffmandecoderongpus_tpu.parallel.mesh import BLOCK_AXIS, make_mesh
+
+
+def _shard_body(bits_loc, tab, *, B, H, N, Gl, D, axis):
+    """Per-device program over its Gl local lanes."""
+    d = jax.lax.axis_index(axis).astype(jnp.int32)
+    lane0 = d * Gl  # first global lane of this shard
+    lane_base = (lane0 + jnp.arange(Gl, dtype=jnp.int32)) * B
+    offs = jnp.arange(H, dtype=jnp.int32)[:, None]
+
+    # candidate scan over local lanes (same recurrence as ops/lanedfa.py,
+    # with absolute stream positions via lane_base)
+    def cstep(carry, inp):
+        node, cnt, ex, done = carry
+        bit, j = inp
+        e = small_gather(tab, node * 2 + bit[None, :].astype(jnp.int32))
+        live = (j >= offs) & ~done & (lane_base[None, :] + j < N)
+        emit = live & ((e & EMIT_BIT) != 0)
+        nxt = jnp.where(live, e & STATE_MASK, node)
+        cnt = cnt + emit.astype(jnp.int32)
+        exiting = emit & (j + 1 >= B)
+        ex = jnp.where(exiting, j + 1 - B, ex)
+        return (nxt, cnt, ex, done | exiting), None
+
+    js = jnp.arange(B + H, dtype=jnp.int32)
+    z = jnp.zeros((H, Gl), dtype=jnp.int32)
+    (node, cnt, ex, _), _ = jax.lax.scan(
+        cstep, (z, z, z, jnp.zeros((H, Gl), dtype=bool)), (bits_loc, js))
+
+    # fold local lanes into a shard-level map for each of the H entry
+    # offsets of the shard's first lane
+    def fold(g, carry):
+        off, base = carry  # (H,), (H,)
+        n = cnt[off, g]
+        nxt = ex[off, g]
+        return nxt, base + n
+
+    off0 = jnp.arange(H, dtype=jnp.int32)
+    shard_ex, shard_cnt = jax.lax.fori_loop(
+        0, Gl, fold, (off0, jnp.zeros(H, dtype=jnp.int32)))
+
+    # one tiny collective: (D, H) maps; identical composition everywhere
+    all_ex = jax.lax.all_gather(shard_ex, axis)  # (D, H)
+    all_cnt = jax.lax.all_gather(shard_cnt, axis)
+
+    def comp(k, carry):
+        e, base, my_e, my_base = carry
+        is_mine = k == d
+        my_e = jnp.where(is_mine, e, my_e)
+        my_base = jnp.where(is_mine, base, my_base)
+        return all_ex[k, e], base + all_cnt[k, e], my_e, my_base
+
+    z0 = jnp.int32(0)
+    _, total, my_e, my_base = jax.lax.fori_loop(0, D, comp, (z0, z0, z0, z0))
+
+    # local per-lane entries from the shard entry
+    def lane_fold(g, carry):
+        off, base, entry_off, bases = carry
+        entry_off = entry_off.at[g].set(off)
+        bases = bases.at[g].set(base)
+        return ex[off, g], base + cnt[off, g], entry_off, bases
+
+    _, _, entry_off, bases = jax.lax.fori_loop(
+        0, Gl, lane_fold,
+        (my_e, my_base, jnp.zeros(Gl, dtype=jnp.int32),
+         jnp.zeros(Gl, dtype=jnp.int32)))
+
+    # main scan from the true entries
+    def mstep(carry, inp):
+        nd, done = carry
+        bit, j = inp
+        e = small_gather(tab, nd * 2 + bit.astype(jnp.int32))
+        active = (j >= entry_off) & ~done & (lane_base + j < N)
+        emit = active & ((e & EMIT_BIT) != 0)
+        nxt = jnp.where(active, e & STATE_MASK, nd)
+        done = done | (emit & (j + 1 >= B))
+        return (nxt, done), ((e >> 16).astype(jnp.uint8), emit)
+
+    _, (sym, valid) = jax.lax.scan(
+        mstep, (jnp.zeros(Gl, dtype=jnp.int32), jnp.zeros(Gl, dtype=bool)),
+        (bits_loc, js))
+    n_lane = valid.sum(axis=0).astype(jnp.int32)
+    return sym, valid, n_lane, total[None]
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled(mesh: Mesh, axis: str, B: int, H: int, N: int, Gl: int, D: int):
+    body = functools.partial(_shard_body, B=B, H=H, N=N, Gl=Gl, D=D, axis=axis)
+    mapped = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, axis), P()),
+        out_specs=(P(None, axis), P(None, axis), P(axis), P(axis)),
+        check_rep=False)
+    return jax.jit(mapped)
+
+
+def decode_lane_sharded(hf, mesh: Mesh | None = None,
+                        lanes: int | None = None,
+                        check_size: bool = True) -> np.ndarray:
+    """Lane-DFA decode with lanes sharded over a device mesh."""
+    if mesh is None:
+        mesh = make_mesh()
+    D = int(mesh.devices.size)
+    dfa = build_lane_dfa(hf.tree)
+    H = max(dfa.height, 1)
+    G = pick_lanes(hf.bits) if lanes is None else int(lanes)
+    G = max(D, min(G, hf.bits // H if hf.bits >= H else 1))
+    G = -(-G // D) * D  # divisible by the mesh
+    mat, B = bits_matrix(hf.payload, hf.bits, G, H, round_to=512)
+    fn = _compiled(mesh, BLOCK_AXIS, B, H, int(hf.bits), G // D, D)
+    sym, valid, n_lane, total = fn(jnp.asarray(mat), jnp.asarray(dfa.entry))
+    total = int(np.asarray(total)[0])
+    if check_size and total != hf.uncompressed_size:
+        raise RuntimeError(
+            f"decoded {total} symbols, header says {hf.uncompressed_size}")
+    out = np.asarray(sym).T[np.asarray(valid).T]
+    if check_size and out.size != hf.uncompressed_size:
+        raise RuntimeError(
+            f"emitted {out.size} symbols, header says {hf.uncompressed_size}")
+    return out

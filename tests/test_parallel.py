@@ -85,3 +85,48 @@ def test_sharded_output_sharding_is_blockwise(paper1):
     # entries are increasing block entry bits
     e = np.asarray(entries)
     assert e[0] == 0 and np.all(np.diff(e) > 0)
+
+
+# ---------------------------------------------------------------------------
+# lane-sharded (lanes over the mesh)
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 8])
+def test_lane_sharded_paper1(paper1, n_dev):
+    from huffmandecoderongpus_tpu.parallel import decode_lane_sharded
+
+    out = decode_lane_sharded(paper1.cd, mesh=make_mesh(n_dev))
+    np.testing.assert_array_equal(out, paper1.ucd)
+
+
+def test_lane_sharded_hello(hello):
+    from huffmandecoderongpus_tpu.parallel import decode_lane_sharded
+
+    out = decode_lane_sharded(hello.cd, mesh=make_mesh(2))
+    np.testing.assert_array_equal(out, hello.ucd)
+
+
+def test_lane_sharded_registry(paper1):
+    out = get_decoder("lane_sharded")(paper1.cd)
+    np.testing.assert_array_equal(out, paper1.ucd)
+
+
+def test_lane_sharded_random(rng):
+    from huffmandecoderongpus_tpu.parallel import decode_lane_sharded
+
+    for n in (1000, 65537, 200001):
+        raw = rng.integers(0, 256, size=n, dtype=np.uint8)
+        hf = encode_bytes(raw)
+        out = decode_lane_sharded(hf, mesh=make_mesh(8))
+        np.testing.assert_array_equal(out, raw)
+
+
+def test_lane_sharded_bad_header(paper1):
+    from huffmandecoderongpus_tpu.parallel import decode_lane_sharded
+
+    hf = paper1.cd
+    broken = type(hf)(tree=hf.tree, bits=hf.bits,
+                      uncompressed_size=hf.uncompressed_size + 2,
+                      payload=hf.payload)
+    with pytest.raises(RuntimeError, match="decoded"):
+        decode_lane_sharded(broken, mesh=make_mesh(4))
