@@ -34,7 +34,8 @@ SUITES = [
     "graph1", "graph2", "graph3", "graph4",
     "kjvprof", "opt", "bts", "testall",
 ]
-COMMANDS = ["encode", "decode", "info", "corpora", "decoders", "prof", "scaling"]
+COMMANDS = ["encode", "decode", "verify", "info", "corpora", "decoders",
+            "prof", "scaling"]
 
 
 def _device_decoders() -> list:
@@ -207,6 +208,20 @@ def main(argv=None) -> None:
         else:
             sys.stdout.buffer.write(bytes(np.asarray(out, dtype=np.uint8)))
         return
+
+    if ns.test == "verify":
+        # byte-compare a .huff decode against a raw file (the evaluate()
+        # check as a standalone command)
+        from huffmandecoderongpus_tpu.harness import compare_uncompressed
+
+        if len(ns.args) < 2:
+            raise SystemExit("usage: verify <input.huff> <raw-file>")
+        hf = read_huff(ns.args[0])
+        want = np.fromfile(ns.args[1], dtype=np.uint8)
+        got = get_decoder(ns.decoder)(hf)
+        diffs = compare_uncompressed(got, want)
+        print("OK" if diffs == 0 else f"FAILED: {diffs} differences")
+        raise SystemExit(0 if diffs == 0 else 1)
 
     if ns.test == "info":
         for name in (ns.args or corpus.available_corpora()):

@@ -69,7 +69,14 @@ def encode_bytes(data, tree: np.ndarray | None = None,
     missing = used[~present[used]]
     if missing.size:
         raise ValueError(f"tree has no code for symbols {missing.tolist()}")
-    payload, bits = pack_symbol_codes(data, code, length)
+    try:
+        # native single-pass packer (huffc_pack_codes); the numpy path below
+        # is the pure-python fallback and the oracle it is tested against
+        from huffmandecoderongpus_tpu import native
+
+        payload, bits = native.pack_codes(data, code, length)
+    except Exception:
+        payload, bits = pack_symbol_codes(data, code, length)
     index = None
     if block_symbols is not None:
         from huffmandecoderongpus_tpu.huffio.sidecar import build_block_index

@@ -139,3 +139,24 @@ def test_package_root_exports(hello):
     hf = ht.encode_bytes(hello.ucd)
     out = ht.get_decoder("simple")(hf)
     np.testing.assert_array_equal(out, hello.ucd)
+
+
+def test_cli_verify_command(tmp_path):
+    import huffmandecoderongpus_tpu as ht
+
+    raw = np.frombuffer(b"verify me please " * 100, dtype=np.uint8)
+    rawf = tmp_path / "raw.bin"
+    raw.tofile(rawf)
+    hf = ht.encode_bytes(raw)
+    huff = tmp_path / "v.huff"
+    ht.write_huff(huff, hf)
+    with pytest.raises(SystemExit) as ei:
+        main(["verify", str(huff), str(rawf)])
+    assert ei.value.code == 0
+    # corrupt payload -> nonzero exit
+    bad = bytearray(huff.read_bytes())
+    bad[-3] ^= 0xFF
+    huff.write_bytes(bytes(bad))
+    with pytest.raises(SystemExit) as ei:
+        main(["verify", str(huff), str(rawf)])
+    assert ei.value.code == 1
