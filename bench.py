@@ -218,5 +218,38 @@ def main() -> None:
     )
 
 
+def _main_watchdogged() -> None:
+    """Run main() in a child process with a hard deadline.
+
+    This environment's device relay can wedge indefinitely (see
+    utils/compile_cache docstring and repo memory); a benchmark that hangs
+    forever is worse than one that reports the outage.
+    """
+    import os
+    import subprocess
+    import sys as _sys
+
+    if os.environ.get("HUFF_BENCH_CHILD") == "1":
+        main()
+        return
+    deadline = int(os.environ.get("HUFF_BENCH_DEADLINE_S", "1200"))
+    env = dict(os.environ, HUFF_BENCH_CHILD="1")
+    try:
+        proc = subprocess.run([_sys.executable, __file__], env=env,
+                              timeout=deadline)
+        raise SystemExit(proc.returncode)
+    except subprocess.TimeoutExpired:
+        import json as _json
+
+        print(_json.dumps({
+            "metric": "kjv.txt on-device decode throughput (UNAVAILABLE: "
+                      "device relay hung past deadline)",
+            "value": 0.0,
+            "unit": "GB/s",
+            "vs_baseline": 0.0,
+        }))
+        raise SystemExit(1)
+
+
 if __name__ == "__main__":
-    main()
+    _main_watchdogged()
