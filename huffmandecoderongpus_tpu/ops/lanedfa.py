@@ -104,7 +104,7 @@ def build_lane_dfa(tree: np.ndarray) -> LaneDFA:
 # Small-table gather that stays on the TPU fast path
 
 
-def small_gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def _take_gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """``table[idx]`` decomposed into <=64-entry gathers + selects."""
     t = int(table.shape[0])
     if t <= SMALL_TABLE:
@@ -117,6 +117,39 @@ def small_gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         cand = jnp.take(chunk, lo, mode="clip")
         out = jnp.where(hi == c, cand, out)
     return out
+
+
+def _select_tree_gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``table[idx]`` as a binary tree of vector selects — t-1 `where` ops,
+    no gather instruction at all.  Pure VPU work: immune to gather lowering
+    cliffs (e.g. gathers inside loop bodies taking the scalar path)."""
+    t = int(table.shape[0])
+    level = [table[i] for i in range(t)]
+    bitpos = 0
+    while len(level) > 1:
+        b = ((idx >> bitpos) & 1) == 1
+        nxt = []
+        for i in range(0, len(level) - 1, 2):
+            nxt.append(jnp.where(b, level[i + 1], level[i]))
+        if len(level) % 2:
+            nxt.append(level[-1])
+        level = nxt
+        bitpos += 1
+    return jnp.broadcast_to(level[0], idx.shape)
+
+
+import os as _os
+
+#: "take" (chunked hardware gather) or "select" (pure select tree); the
+#: HUFF_GATHER env var picks at import time, default "take".
+GATHER_IMPL = _os.environ.get("HUFF_GATHER", "take")
+
+
+def small_gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``table[idx]`` on the TPU-fast path (see GATHER_IMPL)."""
+    if GATHER_IMPL == "select":
+        return _select_tree_gather(table, idx)
+    return _take_gather(table, idx)
 
 
 # ---------------------------------------------------------------------------

@@ -114,3 +114,22 @@ def test_lanedfa_with_precomputed_entries(paper1):
     out = decode_lanedfa(paper1.cd, lanes=G,
                          entries=(np.asarray(entry_off), np.asarray(base)))
     np.testing.assert_array_equal(out, paper1.ucd)
+
+
+def test_select_tree_gather_matches_take(rng):
+    import jax.numpy as jnp
+
+    from huffmandecoderongpus_tpu.ops.lanedfa import _select_tree_gather
+
+    for t in (2, 7, 64, 166, 333):
+        tab = jnp.asarray(rng.integers(0, 1 << 30, t, dtype=np.int32))
+        idx = jnp.asarray(rng.integers(0, t, 700, dtype=np.int32))
+        np.testing.assert_array_equal(
+            np.asarray(_select_tree_gather(tab, idx)),
+            np.asarray(tab)[np.asarray(idx)])
+    # 2D index shapes too (candidate-scan carriers)
+    tab = jnp.asarray(rng.integers(0, 99, 37, dtype=np.int32))
+    idx = jnp.asarray(rng.integers(0, 37, (5, 40), dtype=np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(_select_tree_gather(tab, idx)),
+        np.asarray(tab)[np.asarray(idx)])
