@@ -188,6 +188,11 @@ def pick_lanes(bits: int, target_block_bits: int = 4096, max_lanes: int = 1 << 1
 # Device scans
 
 
+#: scan unrolling for the long per-bit loops (amortizes per-step overhead
+#: on TPU); override with HUFF_SCAN_UNROLL
+SCAN_UNROLL = int(_os.environ.get("HUFF_SCAN_UNROLL", "8"))
+
+
 @functools.partial(jax.jit, static_argnames=("B", "H", "N", "G"))
 def _lane_scan(bits_t, entry_tab, start_off, *, B, H, N, G):
     """Walk each lane from its true entry offset; emissions padded by step.
@@ -213,7 +218,8 @@ def _lane_scan(bits_t, entry_tab, start_off, *, B, H, N, G):
     js = jnp.arange(B + H, dtype=jnp.int32)
     node0 = jnp.zeros(G, dtype=jnp.int32)
     done0 = jnp.zeros(G, dtype=bool)
-    _, (sym, valid) = jax.lax.scan(step, (node0, done0), (bits_t, js))
+    _, (sym, valid) = jax.lax.scan(step, (node0, done0), (bits_t, js),
+                                   unroll=SCAN_UNROLL)
     return sym, valid
 
 
@@ -244,7 +250,8 @@ def _candidate_scan(bits_t, entry_tab, *, B, H, N, G):
     js = jnp.arange(B + H, dtype=jnp.int32)
     z = jnp.zeros((H, G), dtype=jnp.int32)
     (node, cnt, ex, done), _ = jax.lax.scan(
-        step, (z, z, z, jnp.zeros((H, G), dtype=bool)), (bits_t, js))
+        step, (z, z, z, jnp.zeros((H, G), dtype=bool)), (bits_t, js),
+        unroll=SCAN_UNROLL)
     return cnt, ex
 
 
@@ -279,7 +286,8 @@ def _lane_scan_indexed(bits_t, entry_tab, lane_len, *, B, G):
 
     js = jnp.arange(B, dtype=jnp.int32)
     node0 = jnp.zeros(G, dtype=jnp.int32)
-    _, (sym, valid) = jax.lax.scan(step, node0, (bits_t, js))
+    _, (sym, valid) = jax.lax.scan(step, node0, (bits_t, js),
+                                   unroll=SCAN_UNROLL)
     return sym, valid
 
 

@@ -40,6 +40,7 @@ import numpy as np
 from huffmandecoderongpus_tpu.ops.lanedfa import (
     EMIT_BIT,
     STATE_MASK,
+    SCAN_UNROLL,
     _candidate_scan,
     small_gather,
 )
@@ -77,7 +78,8 @@ def _short_candidate_scan(bits_t, entry_tab, valid0, *, B, H, N, G, W):
     f = jnp.zeros((H, G), dtype=bool)
     js = jnp.arange(W, dtype=jnp.int32)
     (node, cnt, mrow, ex, merged, exited), _ = jax.lax.scan(
-        step, (z, z, z, z, f, f), (bits_t[:W], valid0[:W], js))
+        step, (z, z, z, z, f, f), (bits_t[:W], valid0[:W], js),
+        unroll=SCAN_UNROLL)
     return merged, exited, mrow, cnt, ex
 
 
@@ -115,7 +117,7 @@ def _fix_scan(bits_t, entry_tab, start_off, *, B, H, N, G, W):
     js = jnp.arange(W, dtype=jnp.int32)
     _, (sym, valid) = jax.lax.scan(
         step, (jnp.zeros(G, dtype=jnp.int32), jnp.zeros(G, dtype=bool)),
-        (bits_t[:W], js))
+        (bits_t[:W], js), unroll=SCAN_UNROLL)
     return sym, valid
 
 
