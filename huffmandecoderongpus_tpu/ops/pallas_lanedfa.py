@@ -87,7 +87,7 @@ def _main_kernel(tab_ref, off_ref, bits_ref, sym_ref, valid_ref, *,
         nxt = jnp.where(active, e & STATE_MASK, node)
         done = done | (emit & (j + 1 >= B))
         sym_ref[j, :] = (e >> 16).astype(jnp.uint8).reshape(LANE_TILE)
-        valid_ref[j, :] = emit.reshape(LANE_TILE)
+        valid_ref[j, :] = emit.astype(jnp.uint8).reshape(LANE_TILE)
         return nxt, done
 
     node0 = jnp.zeros((8, CHUNK), dtype=jnp.int32)
@@ -122,7 +122,7 @@ def lane_scan_pallas(bits_t, entry_tab_chunks, start_off, *, B, H, N, G,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((steps, G), jnp.uint8),
-            jax.ShapeDtypeStruct((steps, G), jnp.bool_),
+            jax.ShapeDtypeStruct((steps, G), jnp.uint8),
         ],
         interpret=interpret,
     )(entry_tab_chunks, start_off[None, :], bits_t)
@@ -211,7 +211,7 @@ def _indexed_kernel(tab_ref, len_ref, bits_ref, sym_ref, valid_ref, *, steps):
         emit = active & ((e & EMIT_BIT) != 0)
         nxt = jnp.where(active, e & STATE_MASK, node)
         sym_ref[j, :] = (e >> 16).astype(jnp.uint8).reshape(LANE_TILE)
-        valid_ref[j, :] = emit.reshape(LANE_TILE)
+        valid_ref[j, :] = emit.astype(jnp.uint8).reshape(LANE_TILE)
         return nxt
 
     jax.lax.fori_loop(0, steps, step, jnp.zeros((8, CHUNK), dtype=jnp.int32))
@@ -241,7 +241,7 @@ def lane_scan_indexed_pallas(bits_t, entry_tab_chunks, lane_len, *, B, G,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, G), jnp.uint8),
-            jax.ShapeDtypeStruct((B, G), jnp.bool_),
+            jax.ShapeDtypeStruct((B, G), jnp.uint8),
         ],
         interpret=interpret,
     )(entry_tab_chunks, lane_len[None, :], bits_t)
@@ -279,7 +279,7 @@ def decode_lanedfa_indexed_pallas(hf, offsets, block_symbols: int,
     sym, valid = lane_scan_indexed_pallas(
         jnp.asarray(mat), jnp.asarray(_pad_table(dfa.entry)),
         jnp.asarray(lens_pad, dtype=jnp.int32), B=B, G=G, interpret=interpret)
-    out = np.asarray(sym).T[np.asarray(valid).T]
+    out = np.asarray(sym).T[np.asarray(valid).T.astype(bool)]
     if check_size and out.size != hf.uncompressed_size:
         raise RuntimeError(
             f"decoded {out.size} symbols, header says {hf.uncompressed_size}")
@@ -369,7 +369,8 @@ def decode_lanedfa_pallas(hf, lanes: int | None = None,
                                         N=hf.bits, G=G, interpret=interpret)
         flat_tab = jnp.asarray(dfa.entry)
         sym, valid, base, n, total = discover_and_splice(
-            bits_t, flat_tab, sym0, valid0, B=B, H=H, N=hf.bits, G=G)
+            bits_t, flat_tab, sym0, valid0.astype(bool), B=B, H=H,
+            N=hf.bits, G=G)
     else:
         cnt, ex = candidate_scan_pallas(bits_t, tab, B=B, H=H, N=hf.bits,
                                         G=G, interpret=interpret)
@@ -381,7 +382,7 @@ def decode_lanedfa_pallas(hf, lanes: int | None = None,
             f"decoded {int(total)} symbols, header says {hf.uncompressed_size}")
 
     sym_t = np.asarray(sym).T
-    valid_t = np.asarray(valid).T
+    valid_t = np.asarray(valid).T.astype(bool)
     out = sym_t[valid_t]
     if check_size and out.size != hf.uncompressed_size:
         raise RuntimeError(
