@@ -79,19 +79,19 @@ def _main_kernel(tab_ref, off_ref, bits_ref, sym_ref, valid_ref, *,
     j0 = off_ref[0, :].reshape(8, CHUNK)
 
     def step(j, carry):
-        node, done = carry
+        node, done = carry  # done is int32 0/1: Mosaic rejects bool carries
         bit = bits_ref[j, :].reshape(8, CHUNK).astype(jnp.int32)
         e = _chunked_lookup(tab_ref, node * 2 + bit)
-        active = (j >= j0) & ~done & (lane_base + j < N)
+        active = (j >= j0) & (done == 0) & (lane_base + j < N)
         emit = active & ((e & EMIT_BIT) != 0)
         nxt = jnp.where(active, e & STATE_MASK, node)
-        done = done | (emit & (j + 1 >= B))
+        done = jnp.where(emit & (j + 1 >= B), 1, done)
         sym_ref[j, :] = (e >> 16).astype(jnp.uint8).reshape(LANE_TILE)
         valid_ref[j, :] = emit.astype(jnp.uint8).reshape(LANE_TILE)
         return nxt, done
 
     node0 = jnp.zeros((8, CHUNK), dtype=jnp.int32)
-    done0 = jnp.zeros((8, CHUNK), dtype=jnp.bool_)
+    done0 = jnp.zeros((8, CHUNK), dtype=jnp.int32)
     jax.lax.fori_loop(0, steps, step, (node0, done0))
 
 
@@ -151,20 +151,21 @@ def _candidate_kernel(tab_ref, bits_ref, cnt_ref, ex_ref, *, B, H, N, steps):
         return out.reshape(H, 8, CHUNK)
 
     def step(j, carry):
-        node, cnt, ex, done = carry
+        node, cnt, ex, done = carry  # done int32 (no bool carries in Mosaic)
         bit = bits_ref[j, :].reshape(1, 8, CHUNK).astype(jnp.int32)
         e = lookup3(node * 2 + bit)
-        active = (j >= offs) & ~done & (lane_base + j < N)
+        active = (j >= offs) & (done == 0) & (lane_base + j < N)
         emit = active & ((e & EMIT_BIT) != 0)
         nxt = jnp.where(active, e & STATE_MASK, node)
         cnt = cnt + emit.astype(jnp.int32)
         exiting = emit & (j + 1 >= B)
         ex = jnp.where(exiting, j + 1 - B, ex)
-        return nxt, cnt, ex, done | exiting
+        done = jnp.where(exiting, 1, done)
+        return nxt, cnt, ex, done
 
     z = jnp.zeros((H, 8, CHUNK), dtype=jnp.int32)
     node, cnt, ex, done = jax.lax.fori_loop(
-        0, steps, step, (z, z, z, jnp.zeros((H, 8, CHUNK), dtype=jnp.bool_)))
+        0, steps, step, (z, z, z, z))
     cnt_ref[...] = cnt.reshape(H, LANE_TILE)
     ex_ref[...] = ex.reshape(H, LANE_TILE)
 
