@@ -70,24 +70,27 @@ def _chunked_lookup(tab_ref, idx):
 
 def _main_kernel(tab_ref, off_ref, bits_ref, sym_ref, valid_ref, *,
                  B, H, N, G, steps):
-    """One lane tile: scan B+H bit rows from per-lane entry offsets."""
+    """One lane tile: scan B+H bit rows from per-lane entry offsets.
+
+    4D (tile, steps, 8, 128) layout: every ref access is a whole (8, 128)
+    tile — no cross-lane reshapes, which Mosaic cannot lower."""
     t = pl.program_id(0)
     lane = t * LANE_TILE + jax.lax.broadcasted_iota(
         jnp.int32, (8, CHUNK), 0) * CHUNK + jax.lax.broadcasted_iota(
         jnp.int32, (8, CHUNK), 1)
     lane_base = lane * B
-    j0 = off_ref[0, :].reshape(8, CHUNK)
+    j0 = off_ref[...]
 
     def step(j, carry):
         node, done = carry  # done is int32 0/1: Mosaic rejects bool carries
-        bit = bits_ref[j, :].reshape(8, CHUNK).astype(jnp.int32)
+        bit = bits_ref[j].astype(jnp.int32)
         e = _chunked_lookup(tab_ref, node * 2 + bit)
         active = (j >= j0) & (done == 0) & (lane_base + j < N)
         emit = active & ((e & EMIT_BIT) != 0)
         nxt = jnp.where(active, e & STATE_MASK, node)
         done = jnp.where(emit & (j + 1 >= B), 1, done)
-        sym_ref[j, :] = (e >> 16).astype(jnp.uint8).reshape(LANE_TILE)
-        valid_ref[j, :] = emit.astype(jnp.uint8).reshape(LANE_TILE)
+        sym_ref[j] = (e >> 16).astype(jnp.uint8)
+        valid_ref[j] = emit.astype(jnp.uint8)
         return nxt, done
 
     node0 = jnp.zeros((8, CHUNK), dtype=jnp.int32)
@@ -95,37 +98,51 @@ def _main_kernel(tab_ref, off_ref, bits_ref, sym_ref, valid_ref, *,
     jax.lax.fori_loop(0, steps, step, (node0, done0))
 
 
+def _to_tiles(arr2d, steps, G):
+    """(steps, G) -> (T, steps, 8, 128) tile layout (device-side XLA op)."""
+    T = G // LANE_TILE
+    return arr2d.reshape(steps, T, 8, CHUNK).transpose(1, 0, 2, 3)
+
+
+def _from_tiles(arr4d, steps, G):
+    """(T, steps, 8, 128) -> (steps, G)."""
+    return arr4d.transpose(1, 0, 2, 3).reshape(steps, G)
+
+
 @functools.partial(jax.jit, static_argnames=("B", "H", "N", "G", "interpret"))
 def lane_scan_pallas(bits_t, entry_tab_chunks, start_off, *, B, H, N, G,
                      interpret=False):
     """Pallas main scan. bits_t (B+H, G) u8, start_off (G,) i32.
-    Returns (sym (B+H, G) u8, valid (B+H, G) bool).  G % LANE_TILE == 0."""
+    Returns (sym (B+H, G) u8, valid (B+H, G) u8).  G % LANE_TILE == 0."""
     steps = B + H
-    grid = (G // LANE_TILE,)
+    T = G // LANE_TILE
+    bits4 = _to_tiles(bits_t, steps, G)
+    off4 = start_off.reshape(T, 8, CHUNK)
     kern = functools.partial(_main_kernel, B=B, H=H, N=N, G=G, steps=steps)
-    return pl.pallas_call(
+    sym4, valid4 = pl.pallas_call(
         kern,
-        grid=grid,
+        grid=(T,),
         in_specs=[
             pl.BlockSpec((entry_tab_chunks.shape[0], CHUNK), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANE_TILE), lambda t: (0, t),
+            pl.BlockSpec((None, 8, CHUNK), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((steps, LANE_TILE), lambda t: (0, t),
+            pl.BlockSpec((None, steps, 8, CHUNK), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((steps, LANE_TILE), lambda t: (0, t),
+            pl.BlockSpec((None, steps, 8, CHUNK), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((steps, LANE_TILE), lambda t: (0, t),
+            pl.BlockSpec((None, steps, 8, CHUNK), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((steps, G), jnp.uint8),
-            jax.ShapeDtypeStruct((steps, G), jnp.uint8),
+            jax.ShapeDtypeStruct((T, steps, 8, CHUNK), jnp.uint8),
+            jax.ShapeDtypeStruct((T, steps, 8, CHUNK), jnp.uint8),
         ],
         interpret=interpret,
-    )(entry_tab_chunks, start_off[None, :], bits_t)
+    )(entry_tab_chunks, off4, bits4)
+    return _from_tiles(sym4, steps, G), _from_tiles(valid4, steps, G)
 
 
 def _candidate_kernel(tab_ref, bits_ref, cnt_ref, ex_ref, *, B, H, N, steps):
@@ -152,7 +169,7 @@ def _candidate_kernel(tab_ref, bits_ref, cnt_ref, ex_ref, *, B, H, N, steps):
 
     def step(j, carry):
         node, cnt, ex, done = carry  # done int32 (no bool carries in Mosaic)
-        bit = bits_ref[j, :].reshape(1, 8, CHUNK).astype(jnp.int32)
+        bit = bits_ref[j][None].astype(jnp.int32)  # (1, 8, 128) broadcast
         e = lookup3(node * 2 + bit)
         active = (j >= offs) & (done == 0) & (lane_base + j < N)
         emit = active & ((e & EMIT_BIT) != 0)
@@ -166,8 +183,8 @@ def _candidate_kernel(tab_ref, bits_ref, cnt_ref, ex_ref, *, B, H, N, steps):
     z = jnp.zeros((H, 8, CHUNK), dtype=jnp.int32)
     node, cnt, ex, done = jax.lax.fori_loop(
         0, steps, step, (z, z, z, z))
-    cnt_ref[...] = cnt.reshape(H, LANE_TILE)
-    ex_ref[...] = ex.reshape(H, LANE_TILE)
+    cnt_ref[...] = cnt
+    ex_ref[...] = ex
 
 
 @functools.partial(jax.jit, static_argnames=("B", "H", "N", "G", "interpret"))
@@ -175,29 +192,33 @@ def candidate_scan_pallas(bits_t, entry_tab_chunks, *, B, H, N, G,
                           interpret=False):
     """Pallas candidate scan. Returns (cnt (H, G), exit_off (H, G)) int32."""
     steps = B + H
-    grid = (G // LANE_TILE,)
+    T = G // LANE_TILE
+    bits4 = _to_tiles(bits_t, steps, G)
     kern = functools.partial(_candidate_kernel, B=B, H=H, N=N, steps=steps)
-    return pl.pallas_call(
+    cnt4, ex4 = pl.pallas_call(
         kern,
-        grid=grid,
+        grid=(T,),
         in_specs=[
             pl.BlockSpec((entry_tab_chunks.shape[0], CHUNK), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((steps, LANE_TILE), lambda t: (0, t),
+            pl.BlockSpec((None, steps, 8, CHUNK), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((H, LANE_TILE), lambda t: (0, t),
+            pl.BlockSpec((None, H, 8, CHUNK), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, LANE_TILE), lambda t: (0, t),
+            pl.BlockSpec((None, H, 8, CHUNK), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((H, G), jnp.int32),
-            jax.ShapeDtypeStruct((H, G), jnp.int32),
+            jax.ShapeDtypeStruct((T, H, 8, CHUNK), jnp.int32),
+            jax.ShapeDtypeStruct((T, H, 8, CHUNK), jnp.int32),
         ],
         interpret=interpret,
-    )(entry_tab_chunks, bits_t)
+    )(entry_tab_chunks, bits4)
+    cnt = cnt4.transpose(1, 0, 2, 3).reshape(H, G)
+    ex = ex4.transpose(1, 0, 2, 3).reshape(H, G)
+    return cnt, ex
 
 
 def _indexed_kernel(tab_ref, len_ref, bits_ref, sym_ref, valid_ref, *, steps):
