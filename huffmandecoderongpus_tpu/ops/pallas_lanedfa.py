@@ -360,7 +360,7 @@ def compact_pallas(cum, sym, *, steps, G, out_rows, interpret=False):
 def decode_lanedfa_pallas(hf, lanes: int | None = None,
                           check_size: bool = True,
                           interpret: bool = False,
-                          discovery: str = "sync") -> np.ndarray:
+                          discovery: str = "candidates") -> np.ndarray:
     """Pallas lane-DFA decode.
 
     ``discovery="sync"`` (default): one Pallas main scan from offset 0,
