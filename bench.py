@@ -110,7 +110,7 @@ def _lane_candidate(td, pallas: bool):
 
     def materialize(out):
         sym, valid = out
-        return np.asarray(sym).T[np.asarray(valid).T]
+        return np.asarray(sym).T[np.asarray(valid).T.astype(bool)]
 
     return run, materialize
 
