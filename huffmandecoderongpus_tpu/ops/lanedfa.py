@@ -259,15 +259,63 @@ def _candidate_scan(bits_t, entry_tab, *, B, H, N, G):
 def _compose(cnt, exit_off, *, G):
     """Chain the per-lane exit maps: lane 0 enters at offset 0; lane g+1
     enters where lane g's true chain exits.  Returns (entry_off (G,),
-    base (G,), n (G,), total)."""
-    def step(carry, g):
+    base (G,), n (G,), total).
+
+    Blocked two-level composition: a naive scan is G sequential steps
+    (~3 us each on TPU — 50 ms at G=16k).  Exit maps compose associatively,
+    so lanes fold into sqrt(G)-sized groups in parallel (each group
+    evaluates its composite map at ALL H entries), one short scan chains
+    the groups, and a second parallel pass recovers per-lane entries —
+    ~3*sqrt(G) sequential steps total.
+    """
+    H = cnt.shape[0]
+    R = 1
+    while R * R < G:
+        R <<= 1
+    ngroups = -(-G // R)
+    pad = ngroups * R - G
+    ex = exit_off
+    cn = cnt
+    if pad:
+        # identity maps for padding lanes: entry h -> exit h, 0 symbols
+        id_ex = jnp.tile(jnp.arange(H, dtype=ex.dtype)[:, None], (1, pad))
+        ex = jnp.concatenate([ex, id_ex], axis=1)
+        cn = jnp.concatenate([cn, jnp.zeros((H, pad), cn.dtype)], axis=1)
+    exg = ex.reshape(H, ngroups, R)
+    cng = cn.reshape(H, ngroups, R)
+
+    # pass 1: each group's composite map, evaluated at all H entries
+    def in_group(r, carry):
+        state, csum = carry
+        csum = csum + jnp.take_along_axis(cng[:, :, r], state, axis=0)
+        state = jnp.take_along_axis(exg[:, :, r], state, axis=0)
+        return state, csum
+
+    state0 = jnp.tile(jnp.arange(H, dtype=jnp.int32)[:, None], (1, ngroups))
+    gstate, gcount = jax.lax.fori_loop(
+        0, R, in_group, (state0, jnp.zeros((H, ngroups), jnp.int32)))
+
+    # pass 2: short sequential chain over the groups
+    def g_step(carry, g):
         off, base = carry
-        n = cnt[off, g]
-        nxt = exit_off[off, g]
+        return (gstate[off, g], base + gcount[off, g]), (off, base)
+
+    (_, total), (g_off, g_base) = jax.lax.scan(
+        g_step, (jnp.int32(0), jnp.int32(0)),
+        jnp.arange(ngroups, dtype=jnp.int32))
+
+    # pass 3: per-lane entries within every group, in parallel over groups
+    def lane_step(carry, r):
+        off, base = carry  # (ngroups,)
+        n = jnp.take_along_axis(cng[:, :, r], off[None, :], axis=0)[0]
+        nxt = jnp.take_along_axis(exg[:, :, r], off[None, :], axis=0)[0]
         return (nxt, base + n), (off, base, n)
 
-    (_, total), (entry_off, base, n) = jax.lax.scan(
-        step, (jnp.int32(0), jnp.int32(0)), jnp.arange(G, dtype=jnp.int32))
+    _, (offs, bases, ns) = jax.lax.scan(
+        lane_step, (g_off, g_base), jnp.arange(R, dtype=jnp.int32))
+    entry_off = offs.T.reshape(-1)[:G]
+    base = bases.T.reshape(-1)[:G]
+    n = ns.T.reshape(-1)[:G]
     return entry_off, base, n, total
 
 

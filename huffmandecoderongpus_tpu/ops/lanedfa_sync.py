@@ -83,18 +83,11 @@ def _short_candidate_scan(bits_t, entry_tab, valid0, *, B, H, N, G, W):
     return merged, exited, mrow, cnt, ex
 
 
-@functools.partial(jax.jit, static_argnames=("G",))
 def _compose_sync(cnt_total, exit_off, *, G):
-    """Composition over lanes (same contract as lanedfa._compose)."""
-    def step(carry, g):
-        off, base = carry
-        n = cnt_total[off, g]
-        nxt = exit_off[off, g]
-        return (nxt, base + n), (off, base, n)
+    """Composition over lanes — delegates to the blocked lanedfa._compose."""
+    from huffmandecoderongpus_tpu.ops.lanedfa import _compose
 
-    (_, total), (entry_off, base, n) = jax.lax.scan(
-        step, (jnp.int32(0), jnp.int32(0)), jnp.arange(G, dtype=jnp.int32))
-    return entry_off, base, n, total
+    return _compose(cnt_total, exit_off, G=G)
 
 
 @functools.partial(jax.jit, static_argnames=("B", "H", "N", "G", "W"))

@@ -110,16 +110,14 @@ def _from_tiles(arr4d, steps, G):
 
 
 @functools.partial(jax.jit, static_argnames=("B", "H", "N", "G", "interpret"))
-def lane_scan_pallas(bits_t, entry_tab_chunks, start_off, *, B, H, N, G,
-                     interpret=False):
-    """Pallas main scan. bits_t (B+H, G) u8, start_off (G,) i32.
-    Returns (sym (B+H, G) u8, valid (B+H, G) u8).  G % LANE_TILE == 0."""
+def lane_scan_pallas_tiled(bits4, entry_tab_chunks, off4, *, B, H, N, G,
+                           interpret=False):
+    """Tiled-layout main scan: bits4 (T, steps, 8, 128) u8, off4
+    (T, 8, 128) i32 -> (sym4, valid4) (T, steps, 8, 128) u8."""
     steps = B + H
     T = G // LANE_TILE
-    bits4 = _to_tiles(bits_t, steps, G)
-    off4 = start_off.reshape(T, 8, CHUNK)
     kern = functools.partial(_main_kernel, B=B, H=H, N=N, G=G, steps=steps)
-    sym4, valid4 = pl.pallas_call(
+    return pl.pallas_call(
         kern,
         grid=(T,),
         in_specs=[
@@ -142,6 +140,19 @@ def lane_scan_pallas(bits_t, entry_tab_chunks, start_off, *, B, H, N, G,
         ],
         interpret=interpret,
     )(entry_tab_chunks, off4, bits4)
+
+
+@functools.partial(jax.jit, static_argnames=("B", "H", "N", "G", "interpret"))
+def lane_scan_pallas(bits_t, entry_tab_chunks, start_off, *, B, H, N, G,
+                     interpret=False):
+    """Pallas main scan. bits_t (B+H, G) u8, start_off (G,) i32.
+    Returns (sym (B+H, G) u8, valid (B+H, G) u8).  G % LANE_TILE == 0."""
+    steps = B + H
+    T = G // LANE_TILE
+    sym4, valid4 = lane_scan_pallas_tiled(
+        _to_tiles(bits_t, steps, G), entry_tab_chunks,
+        start_off.reshape(T, 8, CHUNK), B=B, H=H, N=N, G=G,
+        interpret=interpret)
     return _from_tiles(sym4, steps, G), _from_tiles(valid4, steps, G)
 
 
@@ -188,12 +199,12 @@ def _candidate_kernel(tab_ref, bits_ref, cnt_ref, ex_ref, *, B, H, N, steps):
 
 
 @functools.partial(jax.jit, static_argnames=("B", "H", "N", "G", "interpret"))
-def candidate_scan_pallas(bits_t, entry_tab_chunks, *, B, H, N, G,
-                          interpret=False):
-    """Pallas candidate scan. Returns (cnt (H, G), exit_off (H, G)) int32."""
+def candidate_scan_pallas_tiled(bits4, entry_tab_chunks, *, B, H, N, G,
+                                interpret=False):
+    """Tiled candidate scan: bits4 (T, steps, 8, 128) -> (cnt (H, G),
+    exit_off (H, G)) int32 (candidate maps are tiny, returned 2D)."""
     steps = B + H
     T = G // LANE_TILE
-    bits4 = _to_tiles(bits_t, steps, G)
     kern = functools.partial(_candidate_kernel, B=B, H=H, N=N, steps=steps)
     cnt4, ex4 = pl.pallas_call(
         kern,
@@ -219,6 +230,16 @@ def candidate_scan_pallas(bits_t, entry_tab_chunks, *, B, H, N, G,
     cnt = cnt4.transpose(1, 0, 2, 3).reshape(H, G)
     ex = ex4.transpose(1, 0, 2, 3).reshape(H, G)
     return cnt, ex
+
+
+@functools.partial(jax.jit, static_argnames=("B", "H", "N", "G", "interpret"))
+def candidate_scan_pallas(bits_t, entry_tab_chunks, *, B, H, N, G,
+                          interpret=False):
+    """Pallas candidate scan over (B+H, G) bits (untiled convenience)."""
+    steps = B + H
+    return candidate_scan_pallas_tiled(
+        _to_tiles(bits_t, steps, G), entry_tab_chunks,
+        B=B, H=H, N=N, G=G, interpret=interpret)
 
 
 def _indexed_kernel(tab_ref, len_ref, bits_ref, sym_ref, valid_ref, *, steps):
