@@ -43,6 +43,7 @@ from huffmandecoderongpus_tpu.ops.lanedfa import (
 
 LANE_TILE = 1024  # lanes per kernel instance: one full 8x128 int32 vreg
 CHUNK = 128  # table entries per dynamic_gather (the lane width)
+UNROLL = 4  # in-kernel steps per fori iteration (amortizes loop overhead)
 
 
 def _pad_table(entry: np.ndarray) -> np.ndarray:
@@ -69,7 +70,7 @@ def _chunked_lookup(tab_ref, idx):
 
 
 def _main_kernel(tab_ref, off_ref, bits_ref, sym_ref, valid_ref, *,
-                 B, H, N, G, steps):
+                 B, H, N, G, steps, steps_p):
     """One lane tile: scan B+H bit rows from per-lane entry offsets.
 
     4D (tile, steps, 8, 128) layout: every ref access is a whole (8, 128)
@@ -81,21 +82,23 @@ def _main_kernel(tab_ref, off_ref, bits_ref, sym_ref, valid_ref, *,
     lane_base = lane * B
     j0 = off_ref[...]
 
-    def step(j, carry):
+    def step(i, carry):
         node, done = carry  # done is int32 0/1: Mosaic rejects bool carries
-        bit = bits_ref[j].astype(jnp.int32)
-        e = _chunked_lookup(tab_ref, node * 2 + bit)
-        active = (j >= j0) & (done == 0) & (lane_base + j < N)
-        emit = active & ((e & EMIT_BIT) != 0)
-        nxt = jnp.where(active, e & STATE_MASK, node)
-        done = jnp.where(emit & (j + 1 >= B), 1, done)
-        sym_ref[j] = (e >> 16).astype(jnp.uint8)
-        valid_ref[j] = emit.astype(jnp.uint8)
-        return nxt, done
+        for u in range(UNROLL):  # python-unrolled: amortizes loop overhead
+            j = i * UNROLL + u
+            bit = bits_ref[j].astype(jnp.int32)
+            e = _chunked_lookup(tab_ref, node * 2 + bit)
+            active = (j >= j0) & (done == 0) & (j < steps) & (lane_base + j < N)
+            emit = active & ((e & EMIT_BIT) != 0)
+            node = jnp.where(active, e & STATE_MASK, node)
+            done = jnp.where(emit & (j + 1 >= B), 1, done)
+            sym_ref[j] = (e >> 16).astype(jnp.uint8)
+            valid_ref[j] = emit.astype(jnp.uint8)
+        return node, done
 
     node0 = jnp.zeros((8, CHUNK), dtype=jnp.int32)
     done0 = jnp.zeros((8, CHUNK), dtype=jnp.int32)
-    jax.lax.fori_loop(0, steps, step, (node0, done0))
+    jax.lax.fori_loop(0, steps_p // UNROLL, step, (node0, done0))
 
 
 def _to_tiles(arr2d, steps, G):
@@ -115,9 +118,13 @@ def lane_scan_pallas_tiled(bits4, entry_tab_chunks, off4, *, B, H, N, G,
     """Tiled-layout main scan: bits4 (T, steps, 8, 128) u8, off4
     (T, 8, 128) i32 -> (sym4, valid4) (T, steps, 8, 128) u8."""
     steps = B + H
+    steps_p = -(-steps // UNROLL) * UNROLL
     T = G // LANE_TILE
-    kern = functools.partial(_main_kernel, B=B, H=H, N=N, G=G, steps=steps)
-    return pl.pallas_call(
+    if steps_p != steps:
+        bits4 = jnp.pad(bits4, ((0, 0), (0, steps_p - steps), (0, 0), (0, 0)))
+    kern = functools.partial(_main_kernel, B=B, H=H, N=N, G=G, steps=steps,
+                             steps_p=steps_p)
+    sym4, valid4 = pl.pallas_call(
         kern,
         grid=(T,),
         in_specs=[
@@ -125,21 +132,22 @@ def lane_scan_pallas_tiled(bits4, entry_tab_chunks, off4, *, B, H, N, G,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 8, CHUNK), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, steps, 8, CHUNK), lambda t: (t, 0, 0, 0),
+            pl.BlockSpec((None, steps_p, 8, CHUNK), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((None, steps, 8, CHUNK), lambda t: (t, 0, 0, 0),
+            pl.BlockSpec((None, steps_p, 8, CHUNK), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, steps, 8, CHUNK), lambda t: (t, 0, 0, 0),
+            pl.BlockSpec((None, steps_p, 8, CHUNK), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, steps, 8, CHUNK), jnp.uint8),
-            jax.ShapeDtypeStruct((T, steps, 8, CHUNK), jnp.uint8),
+            jax.ShapeDtypeStruct((T, steps_p, 8, CHUNK), jnp.uint8),
+            jax.ShapeDtypeStruct((T, steps_p, 8, CHUNK), jnp.uint8),
         ],
         interpret=interpret,
     )(entry_tab_chunks, off4, bits4)
+    return sym4[:, :steps], valid4[:, :steps]
 
 
 @functools.partial(jax.jit, static_argnames=("B", "H", "N", "G", "interpret"))
@@ -156,7 +164,8 @@ def lane_scan_pallas(bits_t, entry_tab_chunks, start_off, *, B, H, N, G,
     return _from_tiles(sym4, steps, G), _from_tiles(valid4, steps, G)
 
 
-def _candidate_kernel(tab_ref, bits_ref, cnt_ref, ex_ref, *, B, H, N, steps):
+def _candidate_kernel(tab_ref, bits_ref, cnt_ref, ex_ref, *, B, H, N, steps,
+                      steps_p):
     """All H candidate chains for one lane tile (carriers (H, 8, 128))."""
     t = pl.program_id(0)
     lane = t * LANE_TILE + jax.lax.broadcasted_iota(
@@ -178,22 +187,24 @@ def _candidate_kernel(tab_ref, bits_ref, cnt_ref, ex_ref, *, B, H, N, steps):
             out = jnp.where(hi == c, cand, out)
         return out.reshape(H, 8, CHUNK)
 
-    def step(j, carry):
+    def step(i, carry):
         node, cnt, ex, done = carry  # done int32 (no bool carries in Mosaic)
-        bit = bits_ref[j][None].astype(jnp.int32)  # (1, 8, 128) broadcast
-        e = lookup3(node * 2 + bit)
-        active = (j >= offs) & (done == 0) & (lane_base + j < N)
-        emit = active & ((e & EMIT_BIT) != 0)
-        nxt = jnp.where(active, e & STATE_MASK, node)
-        cnt = cnt + emit.astype(jnp.int32)
-        exiting = emit & (j + 1 >= B)
-        ex = jnp.where(exiting, j + 1 - B, ex)
-        done = jnp.where(exiting, 1, done)
-        return nxt, cnt, ex, done
+        for u in range(UNROLL):  # python-unrolled
+            j = i * UNROLL + u
+            bit = bits_ref[j][None].astype(jnp.int32)  # (1, 8, 128) broadcast
+            e = lookup3(node * 2 + bit)
+            active = (j >= offs) & (done == 0) & (j < steps) & (lane_base + j < N)
+            emit = active & ((e & EMIT_BIT) != 0)
+            node = jnp.where(active, e & STATE_MASK, node)
+            cnt = cnt + emit.astype(jnp.int32)
+            exiting = emit & (j + 1 >= B)
+            ex = jnp.where(exiting, j + 1 - B, ex)
+            done = jnp.where(exiting, 1, done)
+        return node, cnt, ex, done
 
     z = jnp.zeros((H, 8, CHUNK), dtype=jnp.int32)
     node, cnt, ex, done = jax.lax.fori_loop(
-        0, steps, step, (z, z, z, z))
+        0, steps_p // UNROLL, step, (z, z, z, z))
     cnt_ref[...] = cnt
     ex_ref[...] = ex
 
@@ -204,15 +215,19 @@ def candidate_scan_pallas_tiled(bits4, entry_tab_chunks, *, B, H, N, G,
     """Tiled candidate scan: bits4 (T, steps, 8, 128) -> (cnt (H, G),
     exit_off (H, G)) int32 (candidate maps are tiny, returned 2D)."""
     steps = B + H
+    steps_p = -(-steps // UNROLL) * UNROLL
     T = G // LANE_TILE
-    kern = functools.partial(_candidate_kernel, B=B, H=H, N=N, steps=steps)
+    if steps_p != steps:
+        bits4 = jnp.pad(bits4, ((0, 0), (0, steps_p - steps), (0, 0), (0, 0)))
+    kern = functools.partial(_candidate_kernel, B=B, H=H, N=N, steps=steps,
+                             steps_p=steps_p)
     cnt4, ex4 = pl.pallas_call(
         kern,
         grid=(T,),
         in_specs=[
             pl.BlockSpec((entry_tab_chunks.shape[0], CHUNK), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, steps, 8, CHUNK), lambda t: (t, 0, 0, 0),
+            pl.BlockSpec((None, steps_p, 8, CHUNK), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
