@@ -160,7 +160,6 @@ def _lane_sync_candidate(td):
 
 CANDIDATES = [
     ("lane_dfa_pallas", lambda td: _lane_candidate(td, pallas=True)),
-    ("lane_dfa_sync", _lane_sync_candidate),
     ("spec_xla", lambda td: _spec_xla_candidate(td)),
 ]
 
@@ -198,19 +197,28 @@ def main() -> None:
     for name, make in CANDIDATES:
         try:
             run, materialize = make(td)
+            t0 = time.perf_counter()
             fence, out = run()  # compile + warm
+            warm = time.perf_counter() - t0
             dense = materialize(out)
             if compare_uncompressed(dense, td.ucd) != 0:
                 print(f"# {name}: NOT bit-exact, skipped", file=sys.stderr)
                 continue
+            if best is not None and warm - floor > 50 * best[0] + 60:
+                # cannot win; don't spend deadline on its timing loop
+                print(f"# {name}: warm run {warm*1e3:.0f} ms, outclassed; "
+                      "skipped timing", file=sys.stderr)
+                continue
+            reps = 25 if best is None else 5
             ts = []
-            for _ in range(25):
+            for _ in range(reps):
                 t0 = time.perf_counter()
                 fence, out = run()
                 ts.append(time.perf_counter() - t0)
             dev = max(min(ts) - floor, 1e-6)
             print(f"# {name}: min {min(ts)*1e3:.2f} ms raw, "
-                  f"{dev*1e3:.2f} ms floor-corrected", file=sys.stderr)
+                  f"{dev*1e3:.2f} ms floor-corrected ({reps} reps)",
+                  file=sys.stderr)
             if best is None or dev < best[0]:
                 best = (dev, name)
         except Exception as e:  # candidate unsupported on this toolchain

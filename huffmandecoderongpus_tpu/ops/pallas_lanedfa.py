@@ -164,6 +164,121 @@ def lane_scan_pallas(bits_t, entry_tab_chunks, start_off, *, B, H, N, G,
     return _from_tiles(sym4, steps, G), _from_tiles(valid4, steps, G)
 
 
+def _main_kernel_cum(tab_ref, off_ref, bits_ref, sym_ref, cum_ref, *,
+                     B, H, N, G, steps, steps_p):
+    """Main scan emitting (sym u8, inclusive emission count i32) per row —
+    the exact inputs the compaction kernel needs (no separate cumsum pass).
+    """
+    t = pl.program_id(0)
+    lane = t * LANE_TILE + jax.lax.broadcasted_iota(
+        jnp.int32, (8, CHUNK), 0) * CHUNK + jax.lax.broadcasted_iota(
+        jnp.int32, (8, CHUNK), 1)
+    lane_base = lane * B
+    j0 = off_ref[...]
+
+    def step(i, carry):
+        node, done, cnt = carry
+        for u in range(UNROLL):
+            j = i * UNROLL + u
+            bit = bits_ref[j].astype(jnp.int32)
+            e = _chunked_lookup(tab_ref, node * 2 + bit)
+            active = (j >= j0) & (done == 0) & (j < steps) & (lane_base + j < N)
+            emit = active & ((e & EMIT_BIT) != 0)
+            node = jnp.where(active, e & STATE_MASK, node)
+            done = jnp.where(emit & (j + 1 >= B), 1, done)
+            cnt = cnt + emit.astype(jnp.int32)
+            sym_ref[j] = (e >> 16).astype(jnp.uint8)
+            cum_ref[j] = cnt
+        return node, done, cnt
+
+    z = jnp.zeros((8, CHUNK), dtype=jnp.int32)
+    jax.lax.fori_loop(0, steps_p // UNROLL, step, (z, z, z))
+
+
+def _compact_tiled_kernel(cum_ref, sym_ref, out_ref, n_ref, *, steps,
+                          steps_p, out_rows):
+    """Tiled compaction: binary-search gather along the steps axis (see
+    _compact_kernel); also emits per-lane counts.  The search runs at the
+    padded shape (Mosaic's gather wants operand and indices shape-equal)."""
+    want = jax.lax.broadcasted_iota(jnp.int32, (steps_p, 8, CHUNK), 0) + 1
+    pos = jnp.zeros((steps_p, 8, CHUNK), dtype=jnp.int32)
+    k = 1 << max(steps.bit_length() - 1, 0)
+    while k:
+        npos = pos + k
+        idx = jnp.minimum(npos - 1, steps - 1)
+        c = jnp.take_along_axis(cum_ref[...], idx, axis=0)
+        pos = jnp.where((npos <= steps) & (c < want), npos, pos)
+        k >>= 1
+    row = jnp.minimum(pos, steps - 1)
+    gathered = jnp.take_along_axis(sym_ref[...], row, axis=0)
+    out_ref[...] = gathered[:out_rows]
+    n_ref[...] = cum_ref[steps - 1]
+
+
+@functools.partial(jax.jit, static_argnames=("B", "H", "N", "G", "out_rows",
+                                             "interpret"))
+def lane_decode_dense_pallas_tiled(bits4, entry_tab_chunks, off4, *, B, H, N,
+                                   G, out_rows, interpret=False):
+    """Main scan + on-device compaction: returns (dense4 (T, out_rows, 8,
+    128) u8, counts (T, 8, 128) i32) — each lane's symbols packed to the
+    top of its column."""
+    steps = B + H
+    steps_p = -(-steps // UNROLL) * UNROLL
+    T = G // LANE_TILE
+    if steps_p != steps:
+        bits4 = jnp.pad(bits4, ((0, 0), (0, steps_p - steps), (0, 0), (0, 0)))
+    kern = functools.partial(_main_kernel_cum, B=B, H=H, N=N, G=G,
+                             steps=steps, steps_p=steps_p)
+    sym4, cum4 = pl.pallas_call(
+        kern,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((entry_tab_chunks.shape[0], CHUNK), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 8, CHUNK), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, steps_p, 8, CHUNK), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, steps_p, 8, CHUNK), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, steps_p, 8, CHUNK), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, steps_p, 8, CHUNK), jnp.uint8),
+            jax.ShapeDtypeStruct((T, steps_p, 8, CHUNK), jnp.int32),
+        ],
+        interpret=interpret,
+    )(entry_tab_chunks, off4, bits4)
+
+    ckern = functools.partial(_compact_tiled_kernel, steps=steps,
+                              steps_p=steps_p, out_rows=out_rows)
+    dense4, counts = pl.pallas_call(
+        ckern,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((None, steps_p, 8, CHUNK), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, steps_p, 8, CHUNK), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, out_rows, 8, CHUNK), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 8, CHUNK), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, out_rows, 8, CHUNK), jnp.uint8),
+            jax.ShapeDtypeStruct((T, 8, CHUNK), jnp.int32),
+        ],
+        interpret=interpret,
+    )(cum4, sym4)
+    return dense4, counts
+
+
 def _candidate_kernel(tab_ref, bits_ref, cnt_ref, ex_ref, *, B, H, N, steps,
                       steps_p):
     """All H candidate chains for one lane tile (carriers (H, 8, 128))."""
@@ -348,15 +463,16 @@ def _compact_kernel(cum_ref, sym_ref, out_ref, *, steps, out_rows):
     """Per-column stable compaction as gathers (no scatter):
 
     out[i, g] = sym[r, g] where r is the row of column g's (i+1)-th
-    emission — found by binary search over the column's inclusive emission
-    prefix-count `cum` using axis-0 dynamic_gather (the per-column gather
-    Mosaic supports).  Rows past the column's count read garbage that the
+    emission — found by branchless binary search over the column's
+    inclusive emission prefix-count `cum`, using axis-0 dynamic_gather.
+    Mosaic requires gather operand and indices to share one shape, so the
+    search runs at the full (steps, tile) shape and the leading out_rows
+    rows are written out; rows past a column's count read garbage that the
     caller masks via the counts.
     """
-    want = jax.lax.broadcasted_iota(jnp.int32, (out_rows, LANE_TILE), 0) + 1
-    # branchless lower bound: pos = #rows with cum[row] < want
-    pos = jnp.zeros((out_rows, LANE_TILE), dtype=jnp.int32)
-    k = 1 << max((steps).bit_length() - 1, 0)
+    want = jax.lax.broadcasted_iota(jnp.int32, (steps, LANE_TILE), 0) + 1
+    pos = jnp.zeros((steps, LANE_TILE), dtype=jnp.int32)
+    k = 1 << max(steps.bit_length() - 1, 0)
     while k:
         npos = pos + k
         idx = jnp.minimum(npos - 1, steps - 1)
@@ -364,7 +480,8 @@ def _compact_kernel(cum_ref, sym_ref, out_ref, *, steps, out_rows):
         pos = jnp.where((npos <= steps) & (c < want), npos, pos)
         k >>= 1
     row = jnp.minimum(pos, steps - 1)
-    out_ref[:, :] = jnp.take_along_axis(sym_ref[:, :], row, axis=0)
+    gathered = jnp.take_along_axis(sym_ref[:, :], row, axis=0)
+    out_ref[:, :] = gathered[:out_rows]
 
 
 @functools.partial(jax.jit, static_argnames=("steps", "G", "out_rows", "interpret"))

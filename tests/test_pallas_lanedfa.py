@@ -81,3 +81,33 @@ def test_indexed_pallas_interpret(rng):
     hf = encode_bytes(raw, block_symbols=1024)  # ~293 blocks -> pallas path
     out = decode_lanedfa_indexed_pallas(hf, *hf.index, interpret=True)
     np.testing.assert_array_equal(out, raw)
+
+
+def test_dense_pipeline_interpret(paper1):
+    import jax.numpy as jnp
+
+    from huffmandecoderongpus_tpu.ops import lanedfa as ld
+    from huffmandecoderongpus_tpu.ops import pallas_lanedfa as pld
+
+    dfa = ld.build_lane_dfa(paper1.cd.tree)
+    H = max(dfa.height, 1)
+    N = paper1.cd.bits
+    G = pld.LANE_TILE
+    mat, B = ld.bits_matrix(paper1.cd.payload, N, G, H, round_to=512)
+    steps = B + H
+    T = G // pld.LANE_TILE
+    bits4 = jnp.asarray(np.ascontiguousarray(
+        mat.reshape(steps, T, 8, 128).transpose(1, 0, 2, 3)))
+    tab = jnp.asarray(pld._pad_table(dfa.entry))
+    cnt, ex = pld.candidate_scan_pallas_tiled(bits4, tab, B=B, H=H, N=N, G=G,
+                                              interpret=True)
+    entry_off, base, n, total = ld._compose(cnt, ex, G=G)
+    assert int(total) == paper1.cd.uncompressed_size
+    out_rows = min(steps, B // max(dfa.min_depth, 1) + 2)
+    dense4, counts = pld.lane_decode_dense_pallas_tiled(
+        bits4, tab, entry_off.reshape(T, 8, 128), B=B, H=H, N=N, G=G,
+        out_rows=out_rows, interpret=True)
+    dense = np.asarray(dense4).transpose(1, 0, 2, 3).reshape(out_rows, G).T
+    cnts = np.asarray(counts).reshape(G)
+    got = np.concatenate([dense[g, :cnts[g]] for g in range(G)])
+    np.testing.assert_array_equal(got, paper1.ucd)
