@@ -284,11 +284,19 @@ def _compose(cnt, exit_off, *, G):
     exg = ex.reshape(H, ngroups, R)
     cng = cn.reshape(H, ngroups, R)
 
+    def _sel0(tab2d, idx2d):
+        # take_along_axis(tab2d, idx2d, axis=0) as H selects — XLA's gather
+        # scalarizes even at this size, and this sits inside fori loops
+        out = jnp.broadcast_to(tab2d[0], idx2d.shape)
+        for hh in range(1, H):
+            out = jnp.where(idx2d == hh, tab2d[hh], out)
+        return out
+
     # pass 1: each group's composite map, evaluated at all H entries
     def in_group(r, carry):
         state, csum = carry
-        csum = csum + jnp.take_along_axis(cng[:, :, r], state, axis=0)
-        state = jnp.take_along_axis(exg[:, :, r], state, axis=0)
+        csum = csum + _sel0(cng[:, :, r], state)
+        state = _sel0(exg[:, :, r], state)
         return state, csum
 
     state0 = jnp.tile(jnp.arange(H, dtype=jnp.int32)[:, None], (1, ngroups))
@@ -307,8 +315,8 @@ def _compose(cnt, exit_off, *, G):
     # pass 3: per-lane entries within every group, in parallel over groups
     def lane_step(carry, r):
         off, base = carry  # (ngroups,)
-        n = jnp.take_along_axis(cng[:, :, r], off[None, :], axis=0)[0]
-        nxt = jnp.take_along_axis(exg[:, :, r], off[None, :], axis=0)[0]
+        n = _sel0(cng[:, :, r], off[None, :])[0]
+        nxt = _sel0(exg[:, :, r], off[None, :])[0]
         return (nxt, base + n), (off, base, n)
 
     _, (offs, bases, ns) = jax.lax.scan(

@@ -198,21 +198,24 @@ def _main_kernel_cum(tab_ref, off_ref, bits_ref, sym_ref, cum_ref, *,
 def _compact_tiled_kernel(cum_ref, sym_ref, out_ref, n_ref, *, steps,
                           steps_p, out_rows):
     """Tiled compaction: binary-search gather along the steps axis (see
-    _compact_kernel); also emits per-lane counts.  The search runs at the
-    padded shape (Mosaic's gather wants operand and indices shape-equal)."""
-    want = jax.lax.broadcasted_iota(jnp.int32, (steps_p, 8, CHUNK), 0) + 1
-    pos = jnp.zeros((steps_p, 8, CHUNK), dtype=jnp.int32)
-    k = 1 << max(steps.bit_length() - 1, 0)
-    while k:
-        npos = pos + k
-        idx = jnp.minimum(npos - 1, steps - 1)
-        c = jnp.take_along_axis(cum_ref[...], idx, axis=0)
-        pos = jnp.where((npos <= steps) & (c < want), npos, pos)
-        k >>= 1
-    row = jnp.minimum(pos, steps - 1)
-    gathered = jnp.take_along_axis(sym_ref[...], row, axis=0)
-    out_ref[...] = gathered[:out_rows]
-    n_ref[...] = cum_ref[steps - 1]
+    _compact_kernel); also emits per-lane counts.  Mosaic's dynamic_gather
+    is strictly 2D, so the 3D tile is processed one sublane at a time on
+    2D (steps_p, 128) slices (8 unrolled passes)."""
+    for s in range(8):
+        cum = cum_ref[:, s, :]  # (steps_p, 128)
+        want = jax.lax.broadcasted_iota(jnp.int32, (steps_p, CHUNK), 0) + 1
+        pos = jnp.zeros((steps_p, CHUNK), dtype=jnp.int32)
+        k = 1 << max(steps.bit_length() - 1, 0)
+        while k:
+            npos = pos + k
+            idx = jnp.minimum(npos - 1, steps - 1)
+            c = jnp.take_along_axis(cum, idx, axis=0)
+            pos = jnp.where((npos <= steps) & (c < want), npos, pos)
+            k >>= 1
+        row = jnp.minimum(pos, steps - 1)
+        gathered = jnp.take_along_axis(sym_ref[:, s, :], row, axis=0)
+        out_ref[:, s, :] = gathered[:out_rows]
+        n_ref[s, :] = cum[steps - 1]
 
 
 @functools.partial(jax.jit, static_argnames=("B", "H", "N", "G", "out_rows",
