@@ -375,52 +375,66 @@ def candidate_scan_pallas(bits_t, entry_tab_chunks, *, B, H, N, G,
         B=B, H=H, N=N, G=G, interpret=interpret)
 
 
-def _indexed_kernel(tab_ref, len_ref, bits_ref, sym_ref, valid_ref, *, steps):
+def _indexed_kernel(tab_ref, len_ref, bits_ref, sym_ref, valid_ref, *, steps,
+                    steps_p):
     """Symbol-aligned lanes (sidecar path): lane g starts on a codeword
-    boundary at row 0 and ends exactly at row len_ref[g]."""
-    lane_len = len_ref[0, :].reshape(8, CHUNK)
+    boundary at row 0 and ends exactly at row len_ref[g].  4D tile layout
+    (see _main_kernel)."""
+    lane_len = len_ref[...]
 
-    def step(j, node):
-        bit = bits_ref[j, :].reshape(8, CHUNK).astype(jnp.int32)
-        e = _chunked_lookup(tab_ref, node * 2 + bit)
-        active = j < lane_len
-        emit = active & ((e & EMIT_BIT) != 0)
-        nxt = jnp.where(active, e & STATE_MASK, node)
-        sym_ref[j, :] = (e >> 16).astype(jnp.uint8).reshape(LANE_TILE)
-        valid_ref[j, :] = emit.astype(jnp.uint8).reshape(LANE_TILE)
-        return nxt
+    def step(i, node):
+        for u in range(UNROLL):
+            j = i * UNROLL + u
+            bit = bits_ref[j].astype(jnp.int32)
+            e = _chunked_lookup(tab_ref, node * 2 + bit)
+            active = (j < lane_len) & (j < steps)
+            emit = active & ((e & EMIT_BIT) != 0)
+            node = jnp.where(active, e & STATE_MASK, node)
+            sym_ref[j] = (e >> 16).astype(jnp.uint8)
+            valid_ref[j] = emit.astype(jnp.uint8)
+        return node
 
-    jax.lax.fori_loop(0, steps, step, jnp.zeros((8, CHUNK), dtype=jnp.int32))
+    jax.lax.fori_loop(0, steps_p // UNROLL, step,
+                      jnp.zeros((8, CHUNK), dtype=jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("B", "G", "interpret"))
 def lane_scan_indexed_pallas(bits_t, entry_tab_chunks, lane_len, *, B, G,
                              interpret=False):
     """Pallas indexed scan: (B, G) bits, per-lane exact lengths."""
-    kern = functools.partial(_indexed_kernel, steps=B)
-    return pl.pallas_call(
+    steps = B
+    steps_p = -(-steps // UNROLL) * UNROLL
+    T = G // LANE_TILE
+    bits4 = _to_tiles(bits_t, steps, G)
+    if steps_p != steps:
+        bits4 = jnp.pad(bits4, ((0, 0), (0, steps_p - steps), (0, 0), (0, 0)))
+    len4 = lane_len.reshape(T, 8, CHUNK)
+    kern = functools.partial(_indexed_kernel, steps=steps, steps_p=steps_p)
+    sym4, valid4 = pl.pallas_call(
         kern,
-        grid=(G // LANE_TILE,),
+        grid=(T,),
         in_specs=[
             pl.BlockSpec((entry_tab_chunks.shape[0], CHUNK), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANE_TILE), lambda t: (0, t),
+            pl.BlockSpec((None, 8, CHUNK), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, LANE_TILE), lambda t: (0, t),
+            pl.BlockSpec((None, steps_p, 8, CHUNK), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((B, LANE_TILE), lambda t: (0, t),
+            pl.BlockSpec((None, steps_p, 8, CHUNK), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, LANE_TILE), lambda t: (0, t),
+            pl.BlockSpec((None, steps_p, 8, CHUNK), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, G), jnp.uint8),
-            jax.ShapeDtypeStruct((B, G), jnp.uint8),
+            jax.ShapeDtypeStruct((T, steps_p, 8, CHUNK), jnp.uint8),
+            jax.ShapeDtypeStruct((T, steps_p, 8, CHUNK), jnp.uint8),
         ],
         interpret=interpret,
-    )(entry_tab_chunks, lane_len[None, :], bits_t)
+    )(entry_tab_chunks, len4, bits4)
+    return (_from_tiles(sym4[:, :steps], steps, G),
+            _from_tiles(valid4[:, :steps], steps, G))
 
 
 def decode_lanedfa_indexed_pallas(hf, offsets, block_symbols: int,
