@@ -69,18 +69,16 @@ def _chunked_lookup(tab_ref, idx):
     return out
 
 
-def _main_kernel(tab_ref, off_ref, bits_ref, sym_ref, valid_ref, *,
-                 B, H, N, G, steps, steps_p):
+def _main_kernel(tab_ref, off_ref, lim_ref, bits_ref, sym_ref, valid_ref, *,
+                 B, H, G, steps, steps_p):
     """One lane tile: scan B+H bit rows from per-lane entry offsets.
 
     4D (tile, steps, 8, 128) layout: every ref access is a whole (8, 128)
-    tile — no cross-lane reshapes, which Mosaic cannot lower."""
-    t = pl.program_id(0)
-    lane = t * LANE_TILE + jax.lax.broadcasted_iota(
-        jnp.int32, (8, CHUNK), 0) * CHUNK + jax.lax.broadcasted_iota(
-        jnp.int32, (8, CHUNK), 1)
-    lane_base = lane * B
+    tile — no cross-lane reshapes, which Mosaic cannot lower.  lim_ref
+    holds each lane's remaining-stream bound (N - lane_base) as data, so
+    the same kernel serves sharded callers whose lane offsets are traced."""
     j0 = off_ref[...]
+    lim = lim_ref[...]
 
     def step(i, carry):
         node, done = carry  # done is int32 0/1: Mosaic rejects bool carries
@@ -88,7 +86,7 @@ def _main_kernel(tab_ref, off_ref, bits_ref, sym_ref, valid_ref, *,
             j = i * UNROLL + u
             bit = bits_ref[j].astype(jnp.int32)
             e = _chunked_lookup(tab_ref, node * 2 + bit)
-            active = (j >= j0) & (done == 0) & (j < steps) & (lane_base + j < N)
+            active = (j >= j0) & (done == 0) & (j < steps) & (j < lim)
             emit = active & ((e & EMIT_BIT) != 0)
             node = jnp.where(active, e & STATE_MASK, node)
             done = jnp.where(emit & (j + 1 >= B), 1, done)
@@ -114,21 +112,29 @@ def _from_tiles(arr4d, steps, G):
 
 @functools.partial(jax.jit, static_argnames=("B", "H", "N", "G", "interpret"))
 def lane_scan_pallas_tiled(bits4, entry_tab_chunks, off4, *, B, H, N, G,
-                           interpret=False):
+                           interpret=False, lim4=None):
     """Tiled-layout main scan: bits4 (T, steps, 8, 128) u8, off4
-    (T, 8, 128) i32 -> (sym4, valid4) (T, steps, 8, 128) u8."""
+    (T, 8, 128) i32 -> (sym4, valid4) (T, steps, 8, 128) u8.
+
+    ``lim4``: optional per-lane stream bound (T, 8, 128) i32 overriding the
+    default N - lane_base (used by sharded callers with traced offsets)."""
     steps = B + H
     steps_p = -(-steps // UNROLL) * UNROLL
     T = G // LANE_TILE
     if steps_p != steps:
         bits4 = jnp.pad(bits4, ((0, 0), (0, steps_p - steps), (0, 0), (0, 0)))
-    kern = functools.partial(_main_kernel, B=B, H=H, N=N, G=G, steps=steps,
+    if lim4 is None:
+        lane = jnp.arange(G, dtype=jnp.int32).reshape(T, 8, CHUNK)
+        lim4 = N - lane * B
+    kern = functools.partial(_main_kernel, B=B, H=H, G=G, steps=steps,
                              steps_p=steps_p)
     sym4, valid4 = pl.pallas_call(
         kern,
         grid=(T,),
         in_specs=[
             pl.BlockSpec((entry_tab_chunks.shape[0], CHUNK), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 8, CHUNK), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 8, CHUNK), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -146,7 +152,7 @@ def lane_scan_pallas_tiled(bits4, entry_tab_chunks, off4, *, B, H, N, G,
             jax.ShapeDtypeStruct((T, steps_p, 8, CHUNK), jnp.uint8),
         ],
         interpret=interpret,
-    )(entry_tab_chunks, off4, bits4)
+    )(entry_tab_chunks, off4, lim4, bits4)
     return sym4[:, :steps], valid4[:, :steps]
 
 
@@ -164,17 +170,13 @@ def lane_scan_pallas(bits_t, entry_tab_chunks, start_off, *, B, H, N, G,
     return _from_tiles(sym4, steps, G), _from_tiles(valid4, steps, G)
 
 
-def _main_kernel_cum(tab_ref, off_ref, bits_ref, sym_ref, cum_ref, *,
-                     B, H, N, G, steps, steps_p):
+def _main_kernel_cum(tab_ref, off_ref, lim_ref, bits_ref, sym_ref, cum_ref, *,
+                     B, H, G, steps, steps_p):
     """Main scan emitting (sym u8, inclusive emission count i32) per row —
     the exact inputs the compaction kernel needs (no separate cumsum pass).
     """
-    t = pl.program_id(0)
-    lane = t * LANE_TILE + jax.lax.broadcasted_iota(
-        jnp.int32, (8, CHUNK), 0) * CHUNK + jax.lax.broadcasted_iota(
-        jnp.int32, (8, CHUNK), 1)
-    lane_base = lane * B
     j0 = off_ref[...]
+    lim = lim_ref[...]
 
     def step(i, carry):
         node, done, cnt = carry
@@ -182,7 +184,7 @@ def _main_kernel_cum(tab_ref, off_ref, bits_ref, sym_ref, cum_ref, *,
             j = i * UNROLL + u
             bit = bits_ref[j].astype(jnp.int32)
             e = _chunked_lookup(tab_ref, node * 2 + bit)
-            active = (j >= j0) & (done == 0) & (j < steps) & (lane_base + j < N)
+            active = (j >= j0) & (done == 0) & (j < steps) & (j < lim)
             emit = active & ((e & EMIT_BIT) != 0)
             node = jnp.where(active, e & STATE_MASK, node)
             done = jnp.where(emit & (j + 1 >= B), 1, done)
@@ -230,13 +232,17 @@ def lane_decode_dense_pallas_tiled(bits4, entry_tab_chunks, off4, *, B, H, N,
     T = G // LANE_TILE
     if steps_p != steps:
         bits4 = jnp.pad(bits4, ((0, 0), (0, steps_p - steps), (0, 0), (0, 0)))
-    kern = functools.partial(_main_kernel_cum, B=B, H=H, N=N, G=G,
+    lane = jnp.arange(G, dtype=jnp.int32).reshape(T, 8, CHUNK)
+    lim4 = N - lane * B
+    kern = functools.partial(_main_kernel_cum, B=B, H=H, G=G,
                              steps=steps, steps_p=steps_p)
     sym4, cum4 = pl.pallas_call(
         kern,
         grid=(T,),
         in_specs=[
             pl.BlockSpec((entry_tab_chunks.shape[0], CHUNK), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 8, CHUNK), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 8, CHUNK), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -254,7 +260,7 @@ def lane_decode_dense_pallas_tiled(bits4, entry_tab_chunks, off4, *, B, H, N,
             jax.ShapeDtypeStruct((T, steps_p, 8, CHUNK), jnp.int32),
         ],
         interpret=interpret,
-    )(entry_tab_chunks, off4, bits4)
+    )(entry_tab_chunks, off4, lim4, bits4)
 
     ckern = functools.partial(_compact_tiled_kernel, steps=steps,
                               steps_p=steps_p, out_rows=out_rows)
@@ -282,14 +288,10 @@ def lane_decode_dense_pallas_tiled(bits4, entry_tab_chunks, off4, *, B, H, N,
     return dense4, counts
 
 
-def _candidate_kernel(tab_ref, bits_ref, cnt_ref, ex_ref, *, B, H, N, steps,
-                      steps_p):
+def _candidate_kernel(tab_ref, lim_ref, bits_ref, cnt_ref, ex_ref, *, B, H,
+                      steps, steps_p):
     """All H candidate chains for one lane tile (carriers (H, 8, 128))."""
-    t = pl.program_id(0)
-    lane = t * LANE_TILE + jax.lax.broadcasted_iota(
-        jnp.int32, (H, 8, CHUNK), 1) * CHUNK + jax.lax.broadcasted_iota(
-        jnp.int32, (H, 8, CHUNK), 2)
-    lane_base = lane * B
+    lim = lim_ref[...][None]
     offs = jax.lax.broadcasted_iota(jnp.int32, (H, 8, CHUNK), 0)
 
     def lookup3(idx):
@@ -311,7 +313,7 @@ def _candidate_kernel(tab_ref, bits_ref, cnt_ref, ex_ref, *, B, H, N, steps,
             j = i * UNROLL + u
             bit = bits_ref[j][None].astype(jnp.int32)  # (1, 8, 128) broadcast
             e = lookup3(node * 2 + bit)
-            active = (j >= offs) & (done == 0) & (j < steps) & (lane_base + j < N)
+            active = (j >= offs) & (done == 0) & (j < steps) & (j < lim)
             emit = active & ((e & EMIT_BIT) != 0)
             node = jnp.where(active, e & STATE_MASK, node)
             cnt = cnt + emit.astype(jnp.int32)
@@ -329,7 +331,7 @@ def _candidate_kernel(tab_ref, bits_ref, cnt_ref, ex_ref, *, B, H, N, steps,
 
 @functools.partial(jax.jit, static_argnames=("B", "H", "N", "G", "interpret"))
 def candidate_scan_pallas_tiled(bits4, entry_tab_chunks, *, B, H, N, G,
-                                interpret=False):
+                                interpret=False, lim4=None):
     """Tiled candidate scan: bits4 (T, steps, 8, 128) -> (cnt (H, G),
     exit_off (H, G)) int32 (candidate maps are tiny, returned 2D)."""
     steps = B + H
@@ -337,13 +339,18 @@ def candidate_scan_pallas_tiled(bits4, entry_tab_chunks, *, B, H, N, G,
     T = G // LANE_TILE
     if steps_p != steps:
         bits4 = jnp.pad(bits4, ((0, 0), (0, steps_p - steps), (0, 0), (0, 0)))
-    kern = functools.partial(_candidate_kernel, B=B, H=H, N=N, steps=steps,
+    if lim4 is None:
+        lane = jnp.arange(G, dtype=jnp.int32).reshape(T, 8, CHUNK)
+        lim4 = N - lane * B
+    kern = functools.partial(_candidate_kernel, B=B, H=H, steps=steps,
                              steps_p=steps_p)
     cnt4, ex4 = pl.pallas_call(
         kern,
         grid=(T,),
         in_specs=[
             pl.BlockSpec((entry_tab_chunks.shape[0], CHUNK), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 8, CHUNK), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, steps_p, 8, CHUNK), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -359,7 +366,7 @@ def candidate_scan_pallas_tiled(bits4, entry_tab_chunks, *, B, H, N, G,
             jax.ShapeDtypeStruct((T, H, 8, CHUNK), jnp.int32),
         ],
         interpret=interpret,
-    )(entry_tab_chunks, bits4)
+    )(entry_tab_chunks, lim4, bits4)
     cnt = cnt4.transpose(1, 0, 2, 3).reshape(H, G)
     ex = ex4.transpose(1, 0, 2, 3).reshape(H, G)
     return cnt, ex

@@ -42,12 +42,86 @@ from huffmandecoderongpus_tpu.ops.lanedfa import (
 from huffmandecoderongpus_tpu.parallel.mesh import BLOCK_AXIS, make_mesh
 
 
-def _shard_body(bits_loc, tab, *, B, H, N, Gl, D, axis):
-    """Per-device program over its Gl local lanes."""
+def _stitch(cnt, ex, d, *, H, Gl, D, axis):
+    """Fold local lane maps into a shard map, all_gather the D x H shard
+    maps, compose globally, and recover per-lane entries.  Returns
+    (entry_off (Gl,), bases (Gl,), total scalar)."""
+    def fold(g, carry):
+        off, base = carry  # (H,), (H,)
+        return ex[off, g], base + cnt[off, g]
+
+    off0 = jnp.arange(H, dtype=jnp.int32)
+    shard_ex, shard_cnt = jax.lax.fori_loop(
+        0, Gl, fold, (off0, jnp.zeros(H, dtype=jnp.int32)))
+
+    # one tiny collective: (D, H) maps; identical composition everywhere
+    all_ex = jax.lax.all_gather(shard_ex, axis)  # (D, H)
+    all_cnt = jax.lax.all_gather(shard_cnt, axis)
+
+    def comp(k, carry):
+        e, base, my_e, my_base = carry
+        is_mine = k == d
+        my_e = jnp.where(is_mine, e, my_e)
+        my_base = jnp.where(is_mine, base, my_base)
+        return all_ex[k, e], base + all_cnt[k, e], my_e, my_base
+
+    z0 = jnp.int32(0)
+    _, total, my_e, my_base = jax.lax.fori_loop(0, D, comp, (z0, z0, z0, z0))
+
+    def lane_fold(g, carry):
+        off, base, entry_off, bases = carry
+        entry_off = entry_off.at[g].set(off)
+        bases = bases.at[g].set(base)
+        return ex[off, g], base + cnt[off, g], entry_off, bases
+
+    _, _, entry_off, bases = jax.lax.fori_loop(
+        0, Gl, lane_fold,
+        (my_e, my_base, jnp.zeros(Gl, dtype=jnp.int32),
+         jnp.zeros(Gl, dtype=jnp.int32)))
+    return entry_off, bases, total
+
+
+def _shard_tail_pallas(bits4, tab, cnt, ex, lim4, *, d, B, H, N, Gl, D, axis,
+                       T, interpret):
+    """Stitch + Pallas main scan for the pallas shard body."""
+    from huffmandecoderongpus_tpu.ops import pallas_lanedfa as pld
+
+    entry_off, bases, total = _stitch(cnt, ex, d, H=H, Gl=Gl, D=D, axis=axis)
+    sym4, valid4 = pld.lane_scan_pallas_tiled(
+        bits4, tab, entry_off.reshape(T, 8, pld.CHUNK), B=B, H=H, N=N, G=Gl,
+        lim4=lim4, interpret=interpret)
+    steps = B + H
+    sym = pld._from_tiles(sym4, steps, Gl)
+    valid = pld._from_tiles(valid4, steps, Gl).astype(bool)
+    n_lane = valid.sum(axis=0).astype(jnp.int32)
+    return sym, valid, n_lane, total[None]
+
+
+def _shard_body(bits_loc, tab, *, B, H, N, Gl, D, axis, pallas=False,
+                interpret=False):
+    """Per-device program over its Gl local lanes.
+
+    ``pallas=True`` runs the scans as the Mosaic kernels
+    (ops/pallas_lanedfa.py) with per-lane stream limits passed as data —
+    the shard offset is a traced value, which is exactly why the kernels
+    take `lim4` instead of a static N."""
     d = jax.lax.axis_index(axis).astype(jnp.int32)
     lane0 = d * Gl  # first global lane of this shard
     lane_base = (lane0 + jnp.arange(Gl, dtype=jnp.int32)) * B
     offs = jnp.arange(H, dtype=jnp.int32)[:, None]
+
+    if pallas:
+        from huffmandecoderongpus_tpu.ops import pallas_lanedfa as pld
+
+        T = Gl // pld.LANE_TILE
+        steps = B + H
+        bits4 = pld._to_tiles(bits_loc, steps, Gl)
+        lim4 = (N - lane_base * 1).reshape(T, 8, pld.CHUNK)
+        cnt, ex = pld.candidate_scan_pallas_tiled(
+            bits4, tab, B=B, H=H, N=N, G=Gl, lim4=lim4, interpret=interpret)
+        return _shard_tail_pallas(bits4, tab, cnt, ex, lim4, d=d, B=B, H=H,
+                                  N=N, Gl=Gl, D=D, axis=axis, T=T,
+                                  interpret=interpret)
 
     # candidate scan over local lanes (same recurrence as ops/lanedfa.py,
     # with absolute stream positions via lane_base)
@@ -68,43 +142,7 @@ def _shard_body(bits_loc, tab, *, B, H, N, Gl, D, axis):
     (node, cnt, ex, _), _ = jax.lax.scan(
         cstep, (z, z, z, jnp.zeros((H, Gl), dtype=bool)), (bits_loc, js))
 
-    # fold local lanes into a shard-level map for each of the H entry
-    # offsets of the shard's first lane
-    def fold(g, carry):
-        off, base = carry  # (H,), (H,)
-        n = cnt[off, g]
-        nxt = ex[off, g]
-        return nxt, base + n
-
-    off0 = jnp.arange(H, dtype=jnp.int32)
-    shard_ex, shard_cnt = jax.lax.fori_loop(
-        0, Gl, fold, (off0, jnp.zeros(H, dtype=jnp.int32)))
-
-    # one tiny collective: (D, H) maps; identical composition everywhere
-    all_ex = jax.lax.all_gather(shard_ex, axis)  # (D, H)
-    all_cnt = jax.lax.all_gather(shard_cnt, axis)
-
-    def comp(k, carry):
-        e, base, my_e, my_base = carry
-        is_mine = k == d
-        my_e = jnp.where(is_mine, e, my_e)
-        my_base = jnp.where(is_mine, base, my_base)
-        return all_ex[k, e], base + all_cnt[k, e], my_e, my_base
-
-    z0 = jnp.int32(0)
-    _, total, my_e, my_base = jax.lax.fori_loop(0, D, comp, (z0, z0, z0, z0))
-
-    # local per-lane entries from the shard entry
-    def lane_fold(g, carry):
-        off, base, entry_off, bases = carry
-        entry_off = entry_off.at[g].set(off)
-        bases = bases.at[g].set(base)
-        return ex[off, g], base + cnt[off, g], entry_off, bases
-
-    _, _, entry_off, bases = jax.lax.fori_loop(
-        0, Gl, lane_fold,
-        (my_e, my_base, jnp.zeros(Gl, dtype=jnp.int32),
-         jnp.zeros(Gl, dtype=jnp.int32)))
+    entry_off, bases, total = _stitch(cnt, ex, d, H=H, Gl=Gl, D=D, axis=axis)
 
     # main scan from the true entries
     def mstep(carry, inp):
@@ -125,8 +163,10 @@ def _shard_body(bits_loc, tab, *, B, H, N, Gl, D, axis):
 
 
 @functools.lru_cache(maxsize=64)
-def _compiled(mesh: Mesh, axis: str, B: int, H: int, N: int, Gl: int, D: int):
-    body = functools.partial(_shard_body, B=B, H=H, N=N, Gl=Gl, D=D, axis=axis)
+def _compiled(mesh: Mesh, axis: str, B: int, H: int, N: int, Gl: int, D: int,
+              pallas: bool, interpret: bool):
+    body = functools.partial(_shard_body, B=B, H=H, N=N, Gl=Gl, D=D,
+                             axis=axis, pallas=pallas, interpret=interpret)
     mapped = shard_map(
         body, mesh=mesh,
         in_specs=(P(None, axis), P()),
@@ -137,8 +177,13 @@ def _compiled(mesh: Mesh, axis: str, B: int, H: int, N: int, Gl: int, D: int):
 
 def decode_lane_sharded(hf, mesh: Mesh | None = None,
                         lanes: int | None = None,
-                        check_size: bool = True) -> np.ndarray:
-    """Lane-DFA decode with lanes sharded over a device mesh."""
+                        check_size: bool = True,
+                        use_pallas: bool | None = None) -> np.ndarray:
+    """Lane-DFA decode with lanes sharded over a device mesh.
+
+    ``use_pallas``: run the per-shard scans as Mosaic kernels (default:
+    on TPU meshes, when the per-shard lane count allows full tiles;
+    interpreter elsewhere is slower than the XLA scans, so off)."""
     if mesh is None:
         mesh = make_mesh()
     D = int(mesh.devices.size)
@@ -147,9 +192,22 @@ def decode_lane_sharded(hf, mesh: Mesh | None = None,
     G = pick_lanes(hf.bits) if lanes is None else int(lanes)
     G = max(D, min(G, hf.bits // H if hf.bits >= H else 1))
     G = -(-G // D) * D  # divisible by the mesh
+    from huffmandecoderongpus_tpu.ops.pallas_lanedfa import LANE_TILE, _pad_table
+
+    on_tpu = mesh.devices.flat[0].platform == "tpu"
+    pallas_ok = (G // D) % LANE_TILE == 0
+    # explicit opt-in: the shard_map+Mosaic composition compiles slowly on
+    # this round's remote-compile toolchain and is not yet HW-validated
+    pallas = bool(use_pallas)
+    if pallas and not pallas_ok:
+        raise ValueError(
+            f"use_pallas needs per-shard lanes divisible by {LANE_TILE}")
+    interpret = pallas and not on_tpu
     mat, B = bits_matrix(hf.payload, hf.bits, G, H, round_to=512)
-    fn = _compiled(mesh, BLOCK_AXIS, B, H, int(hf.bits), G // D, D)
-    sym, valid, n_lane, total = fn(jnp.asarray(mat), jnp.asarray(dfa.entry))
+    fn = _compiled(mesh, BLOCK_AXIS, B, H, int(hf.bits), G // D, D,
+                   pallas, interpret)
+    tab = _pad_table(dfa.entry) if pallas else dfa.entry
+    sym, valid, n_lane, total = fn(jnp.asarray(mat), jnp.asarray(tab))
     total = int(np.asarray(total)[0])
     if check_size and total != hf.uncompressed_size:
         raise RuntimeError(

@@ -130,3 +130,11 @@ def test_lane_sharded_bad_header(paper1):
                       payload=hf.payload)
     with pytest.raises(RuntimeError, match="decoded"):
         decode_lane_sharded(broken, mesh=make_mesh(4))
+
+
+def test_lane_sharded_pallas_interpret(paper1):
+    from huffmandecoderongpus_tpu.parallel import decode_lane_sharded
+
+    out = decode_lane_sharded(paper1.cd, mesh=make_mesh(2), lanes=2048,
+                              use_pallas=True)
+    np.testing.assert_array_equal(out, paper1.ucd)
