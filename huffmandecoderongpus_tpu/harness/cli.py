@@ -33,9 +33,10 @@ SUITES = [
     "quickgraph1", "quickgraph2", "quickgraph3",
     "graph1", "graph2", "graph3", "graph4",
     "kjvprof", "opt", "bts", "testall",
+    "kjv",  # ACC-driver corpus suite (mainrunacc.c:406-409)
 ]
 COMMANDS = ["encode", "decode", "verify", "info", "corpora", "decoders",
-            "prof", "scaling"]
+            "prof", "scaling", "bits"]
 
 
 def _device_decoders() -> list:
@@ -72,6 +73,14 @@ def run_suite(name: str, repeats: int = REPEATS) -> None:
         for d in _device_decoders():
             evalandshow(d, hello, repeats=repeats)
         evalandshow(get_decoder("pes_numpy"), hello, repeats=repeats)
+        return
+
+    if name == "kjv":
+        # ACC driver's corpus suite: the backend-portable pipeline on kjv
+        # (mainrunacc.c:406-409, pacc slot)
+        td = load("kjv.txt")
+        for d in _device_decoders():
+            evalandshow(d, td, repeats=repeats)
         return
 
     if name in ("peskjv", "peshello"):
@@ -230,6 +239,17 @@ def main(argv=None) -> None:
             print(f"{name}: nodes {hf.nodes}, bits {hf.bits}, "
                   f"uncompressedsize {hf.uncompressed_size}, height {t.height}, "
                   f"mindepth {t.min_depth}")
+        return
+
+    if ns.test == "bits":
+        # dump leading stream bits LSB-first (showDataBits, huffdata.c:280-288)
+        from huffmandecoderongpus_tpu.huffio.bitio import unpack_bits
+
+        name = ns.args[0] if ns.args else "hello"
+        count = int(ns.args[1]) if len(ns.args) > 1 else 64
+        hf = read_huff(name) if name.endswith(".huff") else corpus.load_huff(name)
+        arr = unpack_bits(hf.payload, min(hf.bits, count))
+        print("".join(str(int(b)) for b in arr))
         return
 
     if ns.test == "corpora":

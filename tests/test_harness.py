@@ -160,3 +160,11 @@ def test_cli_verify_command(tmp_path):
     with pytest.raises(SystemExit) as ei:
         main(["verify", str(huff), str(rawf)])
     assert ei.value.code == 1
+
+
+def test_cli_bits_command(capsys):
+    main(["bits", "hello", "32"])
+    out = capsys.readouterr().out.strip()
+    # "Hello World" stream = 03 65 90 f5 LSB-first (mainrun.c:659-663)
+    want = "".join(f"{b:08b}"[::-1] for b in (0x03, 0x65, 0x90, 0xF5))
+    assert out == want
