@@ -41,9 +41,12 @@ from huffmandecoderongpus_tpu.ops.lanedfa import (
     pick_lanes,
 )
 
+import os as _os
+
 LANE_TILE = 1024  # lanes per kernel instance: one full 8x128 int32 vreg
 CHUNK = 128  # table entries per dynamic_gather (the lane width)
-UNROLL = 4  # in-kernel steps per fori iteration (amortizes loop overhead)
+#: in-kernel steps per fori iteration (amortizes loop overhead)
+UNROLL = int(_os.environ.get("HUFF_PALLAS_UNROLL", "4"))
 
 
 def _pad_table(entry: np.ndarray) -> np.ndarray:
