@@ -46,7 +46,7 @@ import os as _os
 LANE_TILE = 1024  # lanes per kernel instance: one full 8x128 int32 vreg
 CHUNK = 128  # table entries per dynamic_gather (the lane width)
 #: in-kernel steps per fori iteration (amortizes loop overhead)
-UNROLL = int(_os.environ.get("HUFF_PALLAS_UNROLL", "4"))
+UNROLL = int(_os.environ.get("HUFF_PALLAS_UNROLL", "8"))
 
 
 def _pad_table(entry: np.ndarray) -> np.ndarray:
