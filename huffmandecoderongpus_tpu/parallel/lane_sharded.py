@@ -196,9 +196,9 @@ def decode_lane_sharded(hf, mesh: Mesh | None = None,
 
     on_tpu = mesh.devices.flat[0].platform == "tpu"
     pallas_ok = (G // D) % LANE_TILE == 0
-    # explicit opt-in: the shard_map+Mosaic composition compiles slowly on
-    # this round's remote-compile toolchain and is not yet HW-validated
-    pallas = bool(use_pallas)
+    # default: Mosaic kernels on TPU meshes (HW-validated 2026-08-17);
+    # XLA scans elsewhere (Pallas interpret is slower than the XLA path)
+    pallas = bool(use_pallas) if use_pallas is not None else (on_tpu and pallas_ok)
     if pallas and not pallas_ok:
         raise ValueError(
             f"use_pallas needs per-shard lanes divisible by {LANE_TILE}")
