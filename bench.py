@@ -15,9 +15,9 @@ left in HBM.  Two environment-driven choices, both documented:
     completes.  Timing therefore fences on a 1-element readback of a value
     data-dependent on the whole program, and the relay's fixed round-trip
     floor (measured with a trivial program) is subtracted.
-  * Candidates are tried best-first (Pallas kernels, XLA lane-DFA, XLA
-    speculative pipeline); a candidate that fails to compile on the current
-    toolchain is skipped with a note on stderr.
+  * Candidates are tried best-first (Pallas lane-DFA kernels, then the
+    XLA speculative pipeline); a candidate that fails to compile or is
+    outclassed is skipped with a note on stderr.
 
 ``vs_baseline``: the reference publishes no absolute numbers (BASELINE.md);
 its qualitative bar is the parallel algorithm being "marginally faster"
@@ -83,7 +83,10 @@ def _lane_candidate(td, pallas: bool):
     if pallas:
         from huffmandecoderongpus_tpu.ops import pallas_lanedfa as pld
 
-        G = min(1 << 14, max(td.cd.bits // H, 1))
+        import os as _os
+
+        G = min(int(_os.environ.get("HUFF_BENCH_LANES", str(1 << 14))),
+                max(td.cd.bits // H, 1))
         G = max(pld.LANE_TILE, (G // pld.LANE_TILE) * pld.LANE_TILE)
         tab = jnp.asarray(pld._pad_table(dfa.entry))
         mat, B = ld.bits_matrix(td.cd.payload, td.cd.bits, G, H, round_to=512)
@@ -134,26 +137,6 @@ def _lane_candidate(td, pallas: bool):
     def materialize(out):
         sym, valid = out
         return np.asarray(sym).T[np.asarray(valid).T.astype(bool)]
-
-    return run, materialize
-
-
-def _lane_sync_candidate(td):
-    """Self-synchronizing lane-DFA flow (multi-dispatch host orchestration;
-    its internal readbacks make the returned fence trivially ready)."""
-    import numpy as np
-
-    from huffmandecoderongpus_tpu.ops.lanedfa_sync import decode_lanedfa_sync
-
-    state = {}
-
-    def run():
-        out = decode_lanedfa_sync(td.cd)
-        state["out"] = out
-        return np.int64(out.size), out
-
-    def materialize(out):
-        return out
 
     return run, materialize
 
