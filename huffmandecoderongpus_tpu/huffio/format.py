@@ -106,6 +106,11 @@ def read_huff(path, load_index: bool = True) -> HuffFile:
     tree[:, 1] = rec[:, 1:5].copy().view(">i4").reshape(nodes)
     tree[:, 2] = rec[:, 5:9].copy().view(">i4").reshape(nodes)
     off += 9 * nodes
+    # structural validation: a corrupt tree (cycle, dangling child) would
+    # otherwise send the bit-at-a-time decoders into unbounded walks
+    from huffmandecoderongpus_tpu.huffio.tree import validate_tree
+
+    validate_tree(tree, what=str(path))
     payload = np.frombuffer(raw, dtype=np.uint8, count=nbytes, offset=off).copy()
     index = None
     if load_index:

@@ -91,6 +91,33 @@ def telescoped(tree: np.ndarray, bits: int, root: int = 0) -> int:
     return count - 1
 
 
+def validate_tree(tree: np.ndarray, what: str = "tree") -> None:
+    """Structural validation of a node array: child indices in range,
+    leaves marked consistently, and no node reachable twice (cycles or
+    DAG sharing would send the bit-at-a-time decoders into unbounded
+    walks).  Raises ValueError on the first violation."""
+    tree = np.asarray(tree)
+    n = tree.shape[0]
+    z, o = tree[:, 1], tree[:, 2]
+    leaf = z == LEAF
+    if np.any(leaf != (o == LEAF)):
+        raise ValueError(f"{what}: node with exactly one LEAF child")
+    internal = ~leaf
+    kids = np.concatenate([z[internal], o[internal]])
+    if kids.size and (kids.min() < 0 or kids.max() >= n):
+        raise ValueError(f"{what}: child index out of range")
+    seen = np.zeros(n, dtype=bool)
+    stack = [0]
+    while stack:
+        v = stack.pop()
+        if seen[v]:
+            raise ValueError(f"{what}: node {v} reachable twice (cycle/DAG)")
+        seen[v] = True
+        if tree[v, 1] != LEAF:
+            stack.append(int(tree[v, 1]))
+            stack.append(int(tree[v, 2]))
+
+
 def tree_codes(tree: np.ndarray, root: int = 0):
     """Extract per-symbol codes.
 
