@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from huffmandecoderongpus_tpu.huffio.bitio import payload_to_words_u32
 from huffmandecoderongpus_tpu.ops.lut import DecodeLUT, build_decode_lut
@@ -145,7 +145,7 @@ def _compiled(mesh: Mesh, axis: str, S: int, N: int, D: int, H: int, L: int,
         mesh=mesh,
         in_specs=(P(), P(), P()),  # words + LUTs replicated
         out_specs=(P(axis), P(axis), P(axis), P(axis)),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(mapped)
 

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from huffmandecoderongpus_tpu.ops.lanedfa import (
     EMIT_BIT,
@@ -171,7 +171,7 @@ def _compiled(mesh: Mesh, axis: str, B: int, H: int, N: int, Gl: int, D: int,
         body, mesh=mesh,
         in_specs=(P(None, axis), P()),
         out_specs=(P(None, axis), P(None, axis), P(axis), P(axis)),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(mapped)
 
 
