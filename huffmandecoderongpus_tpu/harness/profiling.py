@@ -37,8 +37,6 @@ def _time_stage(fn, *args, reps: int = 5) -> tuple[float, object]:
 def profile_speculative(hf, reps: int = 5) -> dict[str, float]:
     """Stage breakdown of the speculative pipeline (decodeAllBits /
     makebigtable / index-query stages of ops/speculative.py)."""
-    import functools
-
     import jax
     import jax.numpy as jnp
 

@@ -11,7 +11,6 @@ machinery and the collective layout (the numbers then reflect host cores).
 from __future__ import annotations
 
 import dataclasses
-import sys
 import time
 
 import numpy as np

@@ -11,7 +11,6 @@ as the reference reuses the original buffers with reduced sizes.
 
 from __future__ import annotations
 
-import sys
 from typing import Iterator
 
 from huffmandecoderongpus_tpu import native

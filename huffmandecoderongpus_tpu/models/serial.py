@@ -10,7 +10,6 @@ from __future__ import annotations
 import numpy as np
 
 from huffmandecoderongpus_tpu import native
-from huffmandecoderongpus_tpu.huffio.tree import table_height
 from huffmandecoderongpus_tpu.models import register
 from huffmandecoderongpus_tpu.ops.lut import build_decode_lut
 

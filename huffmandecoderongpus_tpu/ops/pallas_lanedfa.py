@@ -34,7 +34,6 @@ from jax.experimental.pallas import tpu as pltpu
 from huffmandecoderongpus_tpu.ops.lanedfa import (
     EMIT_BIT,
     STATE_MASK,
-    LaneDFA,
     _compose,
     build_lane_dfa,
     bits_matrix,
