@@ -41,3 +41,18 @@ def lane_dfa_pallas(hf, param=None) -> np.ndarray:
 
     interpret = jax.default_backend() not in ("tpu",)
     return decode_lanedfa_pallas(hf, lanes=param, interpret=interpret)
+
+
+@register("lane_wide", backend="pallas")
+def lane_wide(hf, param=None) -> np.ndarray:
+    """Wide-lane fused Pallas decode to dense bytes on device
+    (ops/pallas_widescan.py): every DFA step is an all-lanes (R,128)
+    vector op; discovery, composition, fix-up, and compaction run as four
+    fused kernels in one program.  Performance successor of
+    lane_dfa_pallas (role of fastgpuOpt1.cu vs fastgpu.cu)."""
+    import jax
+
+    from huffmandecoderongpus_tpu.ops.pallas_widescan import decode_widescan
+
+    interpret = jax.default_backend() not in ("tpu",)
+    return decode_widescan(hf, lanes=param, interpret=interpret)

@@ -1,0 +1,664 @@
+"""Wide-lane fused Pallas decoder: dense output on device, one bits pass.
+
+Round-1's kernels (ops/pallas_lanedfa.py) scan one (8,128) lane tile per
+grid step — a latency-bound shape (measured ~36 cycles/vector-op on the
+main scan).  This module restructures the decode so every DFA step is a
+*(R,128)* = all-G-lanes vector operation (R = G/128 sublane rows), which
+keeps the VPU throughput-bound, and fuses the whole decode into four
+kernels inside one XLA program:
+
+  K1  main scan + self-synchronizing candidate discovery
+      - the stream is cut into G lanes of B bits; bit j of lane r*128+c is
+        bits3[j, r, c]; the kernel's grid walks step segments with the
+        per-lane DFA state carried in VMEM scratch (TPU grids run
+        sequentially, so scratch persists across segments).
+      - one *paired* transition table word per state (word = entry(bit=0)
+        | entry(bit=1)<<16, entry = sym<<8|emit<<7|next_state) makes a
+        step a single 128-wide lane gather + shifts; needs <= 127
+        internal states (all 8 reference corpora qualify; the wrapper
+        falls back to the round-1 decoder beyond that).
+      - stream-end handling is folded into the *data*: padding "bits" have
+        value 2, which the extract maps to a zero entry (no emission,
+        state->0); past-the-end chains therefore count nothing, so no
+        per-step stream-limit compare and no post-masking is needed
+        (replaces the reference's explicit size checks, pes.c:30-46).
+      - emissions land in *slot* rows j // md (md = min code length): two
+        emissions can never share a slot (consecutive codewords are >= md
+        bits apart), so this is a lossless 2-3x densification that
+        shrinks the compaction search space.
+      - every lane's "0-chain" (entry offset 0) is the main scan; the
+        true entry offset of lane g+1 is where lane g's chain exits
+        ([0, H)); instead of scanning all H candidate chains to the lane
+        end (round-1's candidate kernel, 3x the main scan), candidates
+        walk only until they *merge* with the 0-chain (first emission on
+        a row where the 0-chain emitted - Huffman self-synchronization,
+        cf. ops/lanedfa_sync.py) or exit; whole candidate segments are
+        skipped once every chain is resolved (checked once per segment).
+  K2  composition: per-lane candidate exit maps fold into per-lane true
+      entry offsets via a sqrt(G) two-level scheme (in-group fori, then
+      log-depth prefix-doubling over groups with sublane rolls) - all
+      128-wide lane gathers, ~30us, replacing the sequential host loop of
+      the reference (pes.c:151-185).
+  K3  fix scan: lanes whose true entry is nonzero re-decode rows up to
+      their merge row (bounded by FIX_SLOTS*md; the rare deeper case sets
+      a flag and the wrapper falls back to the exact round-1 path).
+  K4  compaction: per-lane slot emissions -> per-lane *dense* symbol
+      prefixes + counts, via per-128-slot-window binary-search gathers
+      (Mosaic's dynamic_gather is lane-axis, width-128 only) and a
+      window-select merge.  The benchmarked decode therefore ends with
+      dense bytes + counts in HBM; the host only trims/concatenates.
+
+Reference semantics covered: decode-from-every-bit + combine
+(/root/reference/framework/pes.c:30-104) with the per-level host readback
+(fastgpu.cu:245-261) replaced by the fused on-device composition.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from huffmandecoderongpus_tpu.ops.lanedfa import EMIT_BIT, STATE_MASK, LaneDFA
+
+MAX_STATES = 127  # paired-table limit: state field is 7 bits
+PAD_BIT = 2  # bits3 value marking "past stream end" (kills emissions)
+
+
+# ---------------------------------------------------------------------------
+# Table packing
+
+
+def pack_pair_table(dfa: LaneDFA) -> np.ndarray:
+    """Repack the fused table as one int32 word per state:
+    word = e0 | e1<<16 with e = sym<<8 | emit<<7 | next_state.
+    Non-emitting entries have sym == 0 (so slot-accumulation can OR).
+    Returns (1, 128) int32.  Raises ValueError beyond 127 states."""
+    n_states = dfa.entry.shape[0] // 2
+    if n_states > MAX_STATES:
+        raise ValueError(f"{n_states} states > {MAX_STATES} (paired table)")
+    out = np.zeros((1, 128), dtype=np.int32)
+    for bit in (0, 1):
+        e = dfa.entry[bit::2].astype(np.int64)
+        emit = (e & EMIT_BIT) != 0
+        state = np.where(emit, 0, e & STATE_MASK)
+        sym = np.where(emit, (e >> 16) & 0xFF, 0)
+        e16 = (sym << 8) | (emit.astype(np.int64) << 7) | state
+        out[0, :n_states] |= (e16 << (16 * bit)).astype(np.int32)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Bit-matrix layout
+
+
+def bits3_matrix(payload: np.ndarray, bits: int, G: int, B: int, steps_p: int):
+    """(steps_p, R, 128) uint8: element [j, r, c] is stream bit
+    (r*128+c)*B + j; positions past the stream end hold PAD_BIT."""
+    from huffmandecoderongpus_tpu.huffio.bitio import unpack_bits
+
+    R = G // 128
+    flat = np.full(G * B + steps_p, PAD_BIT, dtype=np.uint8)
+    flat[:bits] = unpack_bits(payload, bits)
+    flat[bits:G * B + steps_p] = PAD_BIT  # also clear intra-stream tail pad
+    mat = np.lib.stride_tricks.as_strided(
+        flat, shape=(steps_p, G), strides=(1, B))
+    return np.ascontiguousarray(mat).reshape(steps_p, R, 128)
+
+
+# ---------------------------------------------------------------------------
+# K1: fused main scan + candidate discovery
+
+
+def _k1_kernel(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
+               cntmap_ref, exmap_ref, mrowmap_ref,
+               node0, cnt0, done0, exit0, nodeC, cntC, recC, cumMC,
+               v_scr, cum_scr, *, B, H, G, steps, SEG, UNROLL, md, CH, HP):
+    R = G // 128
+    s = pl.program_id(0)
+    S = pl.num_programs(0)
+    tab_bc = jnp.broadcast_to(tab_ref[0:1, :], (R, 128))
+
+    @pl.when(s == 0)
+    def _init():
+        z = jnp.zeros((R, 128), jnp.int32)
+        node0[...] = z
+        cnt0[...] = z
+        done0[...] = z
+        exit0[...] = z
+        zc = jnp.zeros((CH, R, 128), jnp.int32)
+        nodeC[...] = zc
+        cntC[...] = zc
+        recC[...] = zc
+        cumMC[...] = zc
+
+    # ---- main 0-chain pass over this segment ------------------------------
+    def main_block(track_exit):
+        def body(i, carry):
+            node, cnt, done, ex0 = carry
+            for grp in range(UNROLL // md):
+                sacc = jnp.zeros((R, 128), jnp.uint8)
+                vacc = jnp.zeros((R, 128), jnp.int32)
+                for u in range(md):
+                    lj = i * UNROLL + grp * md + u
+                    j = s * SEG + lj
+                    b = bits_ref[lj].astype(jnp.int32)
+                    w = jnp.take_along_axis(tab_bc, node, axis=1)
+                    e = (w >> ((b & 1) << 4)) & 0xFFFF
+                    e = jnp.where(b >= PAD_BIT, 0, e)
+                    node = e & 127
+                    emit1 = (e >> 7) & 1
+                    if track_exit:
+                        emit1 = emit1 * (1 - done)
+                        exiting = emit1 * jnp.where(j + 1 >= B, 1, 0)
+                        ex0 = jnp.where(exiting > 0, j + 1 - B, ex0)
+                        done = done | exiting
+                    cnt = cnt + emit1
+                    v_scr[lj] = emit1
+                    cum_scr[lj] = cnt
+                    sacc = sacc | (e >> 8).astype(jnp.uint8)
+                    vacc = vacc | emit1
+                sl = (i * UNROLL + grp * md) // md
+                sym_ref[sl] = sacc
+                val_ref[sl] = vacc.astype(jnp.uint8)
+            return node, cnt, done, ex0
+
+        out = jax.lax.fori_loop(
+            0, SEG // UNROLL, body,
+            (node0[...], cnt0[...], done0[...], exit0[...]))
+        node0[...], cnt0[...], done0[...], exit0[...] = out
+
+    # exit boundary row B-1 can only lie in the trailing segments
+    @pl.when((s + 1) * SEG > B - 1)
+    def _full():
+        main_block(True)
+
+    @pl.when((s + 1) * SEG <= B - 1)
+    def _light():
+        main_block(False)
+
+    # ---- candidate pass (skipped once every chain is resolved) ------------
+    live_any = jnp.int32(0)
+    lim_ok = (lim_ref[...] > s * SEG).astype(jnp.int32)
+    for c in range(CH):
+        live_any = jnp.maximum(
+            live_any, jnp.max((1 - (recC[c] & 1)) * lim_ok))
+
+    @pl.when(live_any > 0)
+    def _cands():
+        def body(i, carry):
+            nodes = list(carry[0:CH])
+            cnts = list(carry[CH:2 * CH])
+            recs = list(carry[2 * CH:3 * CH])
+            cums = list(carry[3 * CH:4 * CH])
+            for u in range(UNROLL):
+                lj = i * UNROLL + u
+                j = s * SEG + lj
+                b = bits_ref[lj].astype(jnp.int32)
+                sh = (b & 1) << 4
+                pm = b >= PAD_BIT
+                v0 = v_scr[lj]
+                cum0 = cum_scr[lj]
+                late = jnp.where(j + 1 >= B, 1, 0)
+                res_or = v0 | late
+                rec_val = (j << 2) | (v0 << 1) | 1
+                for c in range(CH):
+                    started = jnp.where(j >= c + 1, 1, 0)
+                    live = (1 - (recs[c] & 1)) * started
+                    w = jnp.take_along_axis(tab_bc, nodes[c], axis=1)
+                    e = (w >> sh) & 0xFFFF
+                    e = jnp.where(pm, 0, e)
+                    nodes[c] = jnp.where(live > 0, e & 127, nodes[c])
+                    em = ((e >> 7) & 1) * live
+                    cnts[c] = cnts[c] + em
+                    resolve = (em * res_or) > 0
+                    recs[c] = jnp.where(resolve, rec_val, recs[c])
+                    cums[c] = jnp.where(resolve, cum0, cums[c])
+            return tuple(nodes + cnts + recs + cums)
+
+        init = tuple([nodeC[c] for c in range(CH)]
+                     + [cntC[c] for c in range(CH)]
+                     + [recC[c] for c in range(CH)]
+                     + [cumMC[c] for c in range(CH)])
+        out = jax.lax.fori_loop(0, SEG // UNROLL, body, init)
+        for c in range(CH):
+            nodeC[c] = out[c]
+            cntC[c] = out[CH + c]
+            recC[c] = out[2 * CH + c]
+            cumMC[c] = out[3 * CH + c]
+
+    # ---- epilogue: assemble per-lane candidate maps -----------------------
+    @pl.when(s == pl.num_programs(0) - 1)
+    def _epilogue():
+        cntmap_ref[0] = cnt0[...]
+        exmap_ref[0] = exit0[...]
+        mrowmap_ref[0] = jnp.full((R, 128), -1, jnp.int32)
+        for c in range(CH):
+            rec = recC[c]
+            mrg = (rec >> 1) & 1
+            mrow = rec >> 2
+            cnt_tot = cntC[c] + mrg * (cnt0[...] - cumMC[c])
+            ex_tot = jnp.where(mrg > 0, exit0[...], mrow + 1 - B)
+            cntmap_ref[c + 1] = cnt_tot
+            exmap_ref[c + 1] = jnp.where(
+                (rec & 1) > 0, ex_tot, jnp.zeros((R, 128), jnp.int32))
+            mrowmap_ref[c + 1] = jnp.where(
+                mrg > 0, mrow, jnp.full((R, 128), steps, jnp.int32))
+        for o in range(CH + 1, HP):
+            cntmap_ref[o] = jnp.zeros((R, 128), jnp.int32)
+            exmap_ref[o] = jnp.zeros((R, 128), jnp.int32)
+            mrowmap_ref[o] = jnp.full((R, 128), steps, jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "B", "H", "G", "steps", "steps_p", "SEG", "UNROLL", "md", "interpret"))
+def k1_scan(bits3, tabw, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL, md,
+            interpret=False):
+    R = G // 128
+    S = steps_p // SEG
+    CH = max(H - 1, 1)
+    HP = -(-(CH + 1) // 8) * 8
+    slots_seg = SEG // md
+    slots_p = steps_p // md
+    kern = functools.partial(
+        _k1_kernel, B=B, H=H, G=G, steps=steps, SEG=SEG, UNROLL=UNROLL,
+        md=md, CH=CH, HP=HP)
+    return pl.pallas_call(
+        kern,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((1, 128), lambda s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SEG, R, 128), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((slots_seg, R, 128), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((slots_seg, R, 128), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HP, R, 128), lambda s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HP, R, 128), lambda s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HP, R, 128), lambda s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((slots_p, R, 128), jnp.uint8),
+            jax.ShapeDtypeStruct((slots_p, R, 128), jnp.uint8),
+            jax.ShapeDtypeStruct((HP, R, 128), jnp.int32),
+            jax.ShapeDtypeStruct((HP, R, 128), jnp.int32),
+            jax.ShapeDtypeStruct((HP, R, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, 128), jnp.int32),          # node0
+            pltpu.VMEM((R, 128), jnp.int32),          # cnt0
+            pltpu.VMEM((R, 128), jnp.int32),          # done0
+            pltpu.VMEM((R, 128), jnp.int32),          # exit0
+            pltpu.VMEM((CH, R, 128), jnp.int32),      # nodeC
+            pltpu.VMEM((CH, R, 128), jnp.int32),      # cntC
+            pltpu.VMEM((CH, R, 128), jnp.int32),      # recC
+            pltpu.VMEM((CH, R, 128), jnp.int32),      # cumMC
+            pltpu.VMEM((SEG, R, 128), jnp.int32),     # v_scr
+            pltpu.VMEM((SEG, R, 128), jnp.int32),     # cum_scr
+        ],
+        interpret=interpret,
+    )(tabw, lim2, bits3)
+
+
+# ---------------------------------------------------------------------------
+# K2: composition (true entry offset per lane)
+
+
+def _k2_kernel(ex_ref, out_ref, *, Rg, NG):
+    """ex_ref: (Rg, NG, 128) exit maps — lane l = g*Rg + r, entry offset
+    on the 128-lane axis (padded past H).  out_ref: (Rg, NG, 128) uint8
+    with out[r, g, :] = true entry offset of lane g*Rg + r (replicated).
+    Counts/bases are recovered in XLA from the entry offsets."""
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (NG, 128), 1)
+    iota_g = jax.lax.broadcasted_iota(jnp.int32, (NG, 128), 0)
+
+    # pass 1: per-group composite exit map evaluated at every entry
+    def p1(r, state):
+        return jnp.take_along_axis(ex_ref[r], state, axis=1)
+
+    gstate = jax.lax.fori_loop(0, Rg, p1, iota_l)
+
+    # pass 2: prefix-doubling over groups (maps of [0, g) per group)
+    pst = jnp.where(iota_g == 0, iota_l, pltpu.roll(gstate, 1, axis=0))
+    d = 1
+    while d < NG:
+        sh_st = jnp.where(iota_g < d, iota_l, pltpu.roll(pst, d, axis=0))
+        pst = jnp.take_along_axis(pst, sh_st, axis=1)
+        d <<= 1
+    g_off = jnp.broadcast_to(pst[:, 0:1], (NG, 128))
+
+    # pass 3: within-group per-lane entries
+    def p3(r, state):
+        out_ref[r] = state.astype(jnp.uint8)
+        return jnp.take_along_axis(ex_ref[r], state, axis=1)
+
+    jax.lax.fori_loop(0, Rg, p3, g_off)
+
+
+@functools.partial(jax.jit, static_argnames=("Rg", "NG", "interpret"))
+def k2_compose(ex3, *, Rg, NG, interpret=False):
+    kern = functools.partial(_k2_kernel, Rg=Rg, NG=NG)
+    return pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Rg, NG, 128), jnp.uint8),
+        interpret=interpret,
+    )(ex3)
+
+
+# ---------------------------------------------------------------------------
+# K3: fix scan (re-decode pre-merge rows of lanes with nonzero entry)
+
+
+def _k3_kernel(tab_ref, ent_ref, bits_ref, sym_ref, val_ref, nodeF, *,
+               G, SEG, UNROLL, md):
+    R = G // 128
+    s = pl.program_id(0)
+    tab_bc = jnp.broadcast_to(tab_ref[0:1, :], (R, 128))
+
+    @pl.when(s == 0)
+    def _init():
+        nodeF[...] = jnp.zeros((R, 128), jnp.int32)
+
+    ent = ent_ref[...]
+
+    def body(i, node):
+        for grp in range(UNROLL // md):
+            sacc = jnp.zeros((R, 128), jnp.uint8)
+            vacc = jnp.zeros((R, 128), jnp.int32)
+            for u in range(md):
+                lj = i * UNROLL + grp * md + u
+                j = s * SEG + lj
+                b = bits_ref[lj].astype(jnp.int32)
+                w = jnp.take_along_axis(tab_bc, node, axis=1)
+                e = (w >> ((b & 1) << 4)) & 0xFFFF
+                e = jnp.where(b >= PAD_BIT, 0, e)
+                alive = j >= ent
+                node = jnp.where(alive, e & 127, node)
+                emit1 = jnp.where(alive, (e >> 7) & 1, 0)
+                sacc = sacc | jnp.where(
+                    alive, e >> 8, 0).astype(jnp.uint8)
+                vacc = vacc | emit1
+            sl = (i * UNROLL + grp * md) // md
+            sym_ref[sl] = sacc
+            val_ref[sl] = vacc.astype(jnp.uint8)
+        return node
+
+    nodeF[...] = jax.lax.fori_loop(0, SEG // UNROLL, body, nodeF[...])
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "G", "FIX_ROWS", "SEG", "UNROLL", "md", "interpret"))
+def k3_fix(bits3, tabw, ent2, *, G, FIX_ROWS, SEG, UNROLL, md,
+           interpret=False):
+    R = G // 128
+    S = FIX_ROWS // SEG
+    slots_seg = SEG // md
+    kern = functools.partial(_k3_kernel, G=G, SEG=SEG, UNROLL=UNROLL, md=md)
+    return pl.pallas_call(
+        kern,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((1, 128), lambda s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SEG, R, 128), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((slots_seg, R, 128), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((slots_seg, R, 128), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((FIX_ROWS // md, R, 128), jnp.uint8),
+            jax.ShapeDtypeStruct((FIX_ROWS // md, R, 128), jnp.uint8),
+        ],
+        scratch_shapes=[pltpu.VMEM((R, 128), jnp.int32)],
+        interpret=interpret,
+    )(tabw, ent2, bits3)
+
+
+# ---------------------------------------------------------------------------
+# K4: per-lane compaction to dense prefixes
+
+
+def _k4_kernel(sym_ref, val_ref, out_ref, *, slots_p, ORP):
+    """sym/val (128, slots_p) lane-major; out (128, ORP) dense-per-row.
+    Window-local binary-search gathers (width-128 lane axis), then a
+    window-select merge by global rank."""
+    W = slots_p // 128
+    iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    want = iota + 1
+    denses = []
+    wcs = []
+    for w in range(W):
+        v = val_ref[:, w * 128:(w + 1) * 128].astype(jnp.int32)
+        cum = v
+        sh = 1
+        while sh < 128:
+            cum = cum + jnp.where(iota >= sh, pltpu.roll(cum, sh, axis=1), 0)
+            sh <<= 1
+        pos = jnp.zeros((128, 128), jnp.int32)
+        t = 64
+        while t:
+            npos = pos + t
+            c = jnp.take_along_axis(cum, npos - 1, axis=1)
+            pos = jnp.where(c < want, npos, pos)
+            t >>= 1
+        symw = sym_ref[:, w * 128:(w + 1) * 128].astype(jnp.int32)
+        denses.append(jnp.take_along_axis(symw, jnp.minimum(pos, 127), axis=1))
+        wcs.append(cum[:, 127:128])
+
+    wpre = [jnp.zeros((128, 1), jnp.int32)]
+    for w in range(W):
+        wpre.append(wpre[-1] + wcs[w])
+
+    for oc in range(ORP // 128):
+        # rank i in [128*oc, 128*oc+128) can only come from windows
+        # w >= oc: window w holds ranks < 128*(w+1) (<= 128 valids/window)
+        i_vec = iota + oc * 128
+        q = jnp.full((128, 128), oc, jnp.int32)
+        wsel = jnp.broadcast_to(wpre[oc], (128, 128))
+        for w in range(oc + 1, W):
+            ge = i_vec >= jnp.broadcast_to(wpre[w], (128, 128))
+            q = q + ge.astype(jnp.int32)
+            wsel = jnp.where(ge, jnp.broadcast_to(wpre[w], (128, 128)), wsel)
+        p = jnp.clip(i_vec - wsel, 0, 127)
+        out = jnp.zeros((128, 128), jnp.int32)
+        for w in range(oc, W):
+            cand = jnp.take_along_axis(denses[w], p, axis=1)
+            out = jnp.where(q == w, cand, out)
+        out_ref[:, oc * 128:(oc + 1) * 128] = out.astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("G", "slots_p", "ORP",
+                                             "interpret"))
+def k4_compact(symT, valT, *, G, slots_p, ORP, interpret=False):
+    kern = functools.partial(_k4_kernel, slots_p=slots_p, ORP=ORP)
+    return pl.pallas_call(
+        kern,
+        grid=(G // 128,),
+        in_specs=[
+            pl.BlockSpec((128, slots_p), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, slots_p), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((128, ORP), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, ORP), jnp.uint8),
+        interpret=interpret,
+    )(symT, valT)
+
+
+# ---------------------------------------------------------------------------
+# Whole-program assembly (single jit)
+
+
+def _select_h(maps, idx, H):
+    """maps (H', G) selected per-lane at idx (G,) — H-way select chain."""
+    out = jnp.broadcast_to(maps[0], idx.shape)
+    for h in range(1, H):
+        out = jnp.where(idx == h, maps[h], out)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "B", "H", "G", "steps", "steps_p", "SEG", "UNROLL", "md", "Rg", "NG",
+    "FIX_ROWS", "ORP", "interpret"))
+def wide_decode_program(bits3, tabw, lim2, *, B, H, G, steps, steps_p, SEG,
+                        UNROLL, md, Rg, NG, FIX_ROWS, ORP, interpret=False):
+    """Full fused decode.  Returns (denseT (G, ORP) u8, n (G,) i32,
+    total i32, flag i32) — flag nonzero means a lane needed a fix window
+    deeper than FIX_ROWS (caller must fall back to the exact path)."""
+    R = G // 128
+    slots_p = steps_p // md
+    sym, val, cntmap, exmap, mrowmap = k1_scan(
+        bits3, tabw, lim2, B=B, H=H, G=G, steps=steps, steps_p=steps_p,
+        SEG=SEG, UNROLL=UNROLL, md=md, interpret=interpret)
+
+    HP = cntmap.shape[0]
+    # maps -> (Rg, NG, 128) with lane l = g*Rg + r, entries on lanes
+    def to_k2(m):
+        m2 = m.reshape(HP, G).T.reshape(NG, Rg, HP).transpose(1, 0, 2)
+        return jnp.pad(m2, ((0, 0), (0, 0), (0, 128 - HP)))
+
+    ent3 = k2_compose(to_k2(exmap), Rg=Rg, NG=NG, interpret=interpret)
+    entry = ent3[:, :, 0].T.reshape(G).astype(jnp.int32)  # lane-ordered
+
+    cnt2 = cntmap.reshape(HP, G)
+    n = _select_h(cnt2, entry, H)
+    base = jnp.cumsum(n) - n
+    total = base[-1] + n[-1]
+
+    mrow_sel = _select_h(mrowmap.reshape(HP, G), entry, H)
+    cut = jnp.where(entry == 0, 0, mrow_sel + 1)
+    flag = jnp.max(jnp.where(cut > FIX_ROWS, 1, 0))
+    cut_slot = jnp.where(cut > 0, (cut - 1) // md + 1, 0)
+
+    fsym, fval = k3_fix(bits3, tabw, entry.reshape(R, 128),
+                        G=G, FIX_ROWS=FIX_ROWS, SEG=SEG, UNROLL=UNROLL,
+                        md=md, interpret=interpret)
+    FS = FIX_ROWS // md
+    cs3 = cut_slot.reshape(1, R, 128)
+    sl_iota = jnp.arange(FS, dtype=jnp.int32).reshape(FS, 1, 1)
+    take_fix = sl_iota < cs3
+    sym = sym.at[:FS].set(jnp.where(take_fix, fsym, sym[:FS]))
+    val = val.at[:FS].set(jnp.where(take_fix, fval, val[:FS]))
+
+    slots_pp = -(-slots_p // 128) * 128
+    symT = sym.reshape(slots_p, G).T
+    valT = val.reshape(slots_p, G).T
+    if slots_pp != slots_p:
+        symT = jnp.pad(symT, ((0, 0), (0, slots_pp - slots_p)))
+        valT = jnp.pad(valT, ((0, 0), (0, slots_pp - slots_p)))
+    denseT = k4_compact(symT, valT, G=G, slots_p=slots_pp, ORP=ORP,
+                        interpret=interpret)
+    return denseT, n, total, flag
+
+
+# ---------------------------------------------------------------------------
+# Host wrapper
+
+
+def _plan(bits: int, H: int, md: int, lanes=None, avg_len=None):
+    """Static launch geometry for a stream.
+
+    ``avg_len``: mean code length (bits / uncompressed size) — sizes the
+    dense output buffer tightly; a lane that overflows it sets the
+    wrapper's fallback path, so this is a heuristic, not a bound."""
+    UNROLL = md * max(1, round(8 / md))
+    SEG = UNROLL * max(1, 32 // UNROLL)
+    if lanes is None:
+        G = 1 << max((-(-bits // 2048) - 1).bit_length(), 0)
+        G = max(1024, min(G, 1 << 14))
+    else:
+        G = int(lanes)
+    B = -(-bits // G)
+    B = -(-B // SEG) * SEG
+    steps = B + H
+    steps_p = -(-steps // SEG) * SEG
+    FIX_ROWS = min(4 * SEG, steps_p)
+    # composition group split: G = NG groups x Rg lanes, both ~sqrt(G)
+    NG = 1 << ((G // 128).bit_length() // 2 + 3)
+    NG = min(NG, G)
+    Rg = G // NG
+    hard = min(B // md + 2, steps_p // md)
+    if avg_len is not None and avg_len > 0:
+        ORP = min(int(B / avg_len * 1.6) + 2, hard)
+    else:
+        ORP = hard
+    ORP = -(-ORP // 128) * 128
+    return dict(G=G, B=B, steps=steps, steps_p=steps_p, SEG=SEG,
+                UNROLL=UNROLL, FIX_ROWS=FIX_ROWS, NG=NG, Rg=Rg, ORP=ORP)
+
+
+def decode_widescan(hf, lanes=None, check_size=True, interpret=False):
+    """Wide-lane fused decode of a HuffFile to dense bytes.
+
+    Falls back to the round-1 Pallas path for tiny streams, >127-state
+    trees, or the (adversarial) deep-fix case flagged by the program."""
+    from huffmandecoderongpus_tpu.ops.lanedfa import build_lane_dfa
+
+    dfa = build_lane_dfa(hf.tree)
+    H = max(dfa.height, 1)
+    md = max(dfa.min_depth, 1)
+
+    def _fallback():
+        from huffmandecoderongpus_tpu.ops.pallas_lanedfa import (
+            decode_lanedfa_pallas,
+        )
+
+        return decode_lanedfa_pallas(hf, check_size=check_size,
+                                     interpret=interpret)
+
+    if hf.bits < 1024 * max(H, 8) or dfa.entry.shape[0] // 2 > MAX_STATES:
+        return _fallback()
+
+    avg = hf.bits / max(hf.uncompressed_size, 1)
+    p = _plan(hf.bits, H, md, lanes=lanes, avg_len=avg)
+    G = p["G"]
+    tabw = jnp.asarray(pack_pair_table(dfa))
+    mat = bits3_matrix(hf.payload, hf.bits, G, p["B"], p["steps_p"])
+    lane = np.arange(G, dtype=np.int64).reshape(G // 128, 128)
+    lim2 = jnp.asarray(
+        np.clip(hf.bits - lane * p["B"], -(1 << 30), 1 << 30).astype(np.int32))
+
+    denseT, n, total, flag = wide_decode_program(
+        jnp.asarray(mat), tabw, lim2, B=p["B"], H=H, G=G, steps=p["steps"],
+        steps_p=p["steps_p"], SEG=p["SEG"], UNROLL=p["UNROLL"], md=md,
+        Rg=p["Rg"], NG=p["NG"], FIX_ROWS=p["FIX_ROWS"], ORP=p["ORP"],
+        interpret=interpret)
+    if int(flag) != 0:
+        return _fallback()
+    if check_size and int(total) != hf.uncompressed_size:
+        raise RuntimeError(
+            f"decoded {int(total)} symbols, header says "
+            f"{hf.uncompressed_size}")
+    dense = np.asarray(denseT)
+    counts = np.asarray(n)
+    if counts.max(initial=0) > p["ORP"]:
+        return _fallback()  # a lane overflowed the dense buffer
+    mask = np.arange(p["ORP"])[None, :] < counts[:, None]
+    out = dense[mask]
+    if check_size and out.size != hf.uncompressed_size:
+        raise RuntimeError(
+            f"emitted {out.size} symbols, header says {hf.uncompressed_size}")
+    return out

@@ -1,0 +1,105 @@
+"""Wide-lane fused decoder (ops/pallas_widescan), interpreter mode on CPU.
+
+Semantics: dense decoded bytes must equal the original corpus exactly for
+random and text-like data, covering nonzero entry offsets (the fix-scan
+splice), min-depth slot compression, tail-lane stream-end handling, and
+the tiny-stream / >127-state fallbacks.
+"""
+
+import numpy as np
+import pytest
+
+from huffmandecoderongpus_tpu.huffio.bitio import unpack_bits
+from huffmandecoderongpus_tpu.huffio.encoder import encode_bytes
+from huffmandecoderongpus_tpu.ops.lanedfa import build_lane_dfa
+from huffmandecoderongpus_tpu.ops.pallas_widescan import (
+    PAD_BIT,
+    bits3_matrix,
+    decode_widescan,
+    pack_pair_table,
+)
+from huffmandecoderongpus_tpu.ops.lanedfa import EMIT_BIT, STATE_MASK
+
+
+def test_pack_pair_table_semantics(paper1):
+    dfa = build_lane_dfa(paper1.cd.tree)
+    tabw = pack_pair_table(dfa)
+    n_states = dfa.entry.shape[0] // 2
+    for bit in (0, 1):
+        for s in range(n_states):
+            ref = int(dfa.entry[s * 2 + bit])
+            e16 = (int(tabw[0, s]) >> (16 * bit)) & 0xFFFF
+            if ref & EMIT_BIT:
+                assert e16 & 0x80
+                assert (e16 >> 8) == ((ref >> 16) & 0xFF)
+                assert (e16 & 0x7F) == 0  # root reset
+            else:
+                assert (e16 & 0x80) == 0
+                assert (e16 >> 8) == 0  # OR-able slot accumulation
+                assert (e16 & 0x7F) == (ref & STATE_MASK)
+
+
+def test_bits3_matrix_layout():
+    rng = np.random.default_rng(1)
+    payload = rng.integers(0, 256, 400, dtype=np.uint8)
+    bits = 400 * 8 - 5
+    G, B, steps_p = 1024, 32, 64
+    # only bits//B+1 lanes have real data at B=32; still checks layout
+    mat = bits3_matrix(payload, bits, G, B, steps_p)
+    assert mat.shape == (steps_p, G // 128, 128)
+    flat = unpack_bits(payload, bits)
+    for (j, lane) in [(0, 0), (5, 3), (31, 7), (63, 2)]:
+        pos = lane * B + j
+        want = flat[pos] if pos < bits else PAD_BIT
+        assert mat[j, lane // 128, lane % 128] == want
+    # all positions past the stream end are PAD_BIT
+    assert mat[40, (bits // B) // 128, (bits // B) % 128] in (0, 1, PAD_BIT)
+    last = G - 1
+    assert mat[0, last // 128, last % 128] == PAD_BIT
+
+
+def test_widescan_random_bytes(rng):
+    raw = rng.integers(0, 256, size=9000, dtype=np.uint8)
+    hf = encode_bytes(raw)
+    out = decode_widescan(hf, lanes=1024, interpret=True)
+    np.testing.assert_array_equal(out, raw)
+
+
+def test_widescan_text_like(rng):
+    # skewed alphabet -> short codes, small min depth, text-like density
+    probs = np.array([0.35, 0.2, 0.12, 0.1, 0.08, 0.06, 0.05, 0.04])
+    raw = rng.choice(np.arange(8, dtype=np.uint8), size=20000,
+                     p=probs / probs.sum()).astype(np.uint8)
+    hf = encode_bytes(raw)
+    out = decode_widescan(hf, lanes=1024, interpret=True)
+    np.testing.assert_array_equal(out, raw)
+
+
+def test_widescan_paper1_prefix(paper1):
+    raw = np.asarray(paper1.ucd[:24000], dtype=np.uint8)
+    hf = encode_bytes(raw)
+    out = decode_widescan(hf, lanes=1024, interpret=True)
+    np.testing.assert_array_equal(out, raw)
+
+
+def test_widescan_tiny_falls_back(hello):
+    out = decode_widescan(hello.cd, interpret=True)
+    np.testing.assert_array_equal(out, hello.ucd)
+
+
+def test_widescan_two_symbol_alphabet(rng):
+    # degenerate tree: height 1 region, min depth 1 (md=1 slot path)
+    raw = (rng.random(30000) < 0.3).astype(np.uint8)
+    hf = encode_bytes(raw)
+    out = decode_widescan(hf, lanes=1024, interpret=True)
+    np.testing.assert_array_equal(out, raw)
+
+
+def test_widescan_bad_header_raises(rng):
+    raw = rng.integers(0, 256, size=9000, dtype=np.uint8)
+    hf = encode_bytes(raw)
+    import dataclasses
+
+    bad = dataclasses.replace(hf, uncompressed_size=hf.uncompressed_size + 1)
+    with pytest.raises(RuntimeError):
+        decode_widescan(bad, lanes=1024, interpret=True)
