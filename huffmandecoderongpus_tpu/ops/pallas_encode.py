@@ -1,0 +1,360 @@
+"""Lane-parallel Pallas encoder: bytes -> LSB-first Huffman payload.
+
+The reference is decoder-only (SURVEY intro; its only file writer is the
+OpenCL kernel-binary cache, /root/reference/framework/openclapproach.c:
+155-161), so this is a new capability; the north-star contract is
+"encoder and decoder run as Pallas kernels".  Round-1's device encoder
+(ops/encode_ops.py) was XLA scatter-add — the exact pattern the TPU
+serializes.  This module mirrors the wide-lane *decoder* architecture
+instead (ops/pallas_widescan.py): no scatter anywhere.
+
+  E1  pack scan: G lanes x K symbols; each lane appends its codewords to
+      a 16-bit granule accumulator, two <=13-bit half-codes per symbol
+      (the i32 accumulator never exceeds 28 live bits).  Completed
+      granules land *padded by sub-step row* with a valid flag — static
+      writes, the mirror image of the decoder's slot emissions.
+  E2  compaction: the decoder's K4 window machinery on i32 values packs
+      each lane's granules dense + per-lane counts.
+  E3  placement: per-lane bit offsets (tiny host cumsum of G values)
+      give every lane a phase shift a = P % 16 and a window W = P // 16;
+      the shift runs on device (elementwise + neighbor roll); adjacent
+      lanes overlap in at most one granule whose bit ranges are disjoint,
+      so the final placement is two disjoint vectorized assignments + an
+      OR of the per-lane tail granules (host, no per-symbol work).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+GRAN = 16  # output granule bits (half-words dodge i32 sign issues)
+HALF = 13  # max bits appended per sub-step (codes split in two halves)
+
+
+def build_pack_tables(code: np.ndarray, length: np.ndarray):
+    """256-entry i32 tables: lo = code_lo13 | lo_len<<13,
+    hi = code_hi | hi_len<<13 (hi_len = max(len-13, 0))."""
+    code = code.astype(np.int64)
+    length = length.astype(np.int64)
+    if length.max(initial=0) > 2 * HALF:
+        raise ValueError("code length > 26 unsupported by the pack tables")
+    lo_len = np.minimum(length, HALF)
+    hi_len = np.maximum(length - HALF, 0)
+    lo = (code & ((1 << HALF) - 1)) | (lo_len << HALF)
+    hi = (code >> HALF) | (hi_len << HALF)
+    return lo.astype(np.int32), hi.astype(np.int32)
+
+
+def _chunk256(tab: np.ndarray) -> np.ndarray:
+    out = np.zeros((2, 128), dtype=np.int32)
+    out.reshape(-1)[: tab.shape[0]] = tab
+    return out
+
+
+def _lookup256(tab_ref, idx, R):
+    """256-entry lookup: two broadcast 128-chunks + select."""
+    lo = idx & 127
+    c0 = jnp.take_along_axis(
+        jnp.broadcast_to(tab_ref[0:1, :], (R, 128)), lo, axis=1)
+    c1 = jnp.take_along_axis(
+        jnp.broadcast_to(tab_ref[1:2, :], (R, 128)), lo, axis=1)
+    return jnp.where(idx >= 128, c1, c0)
+
+
+# ---------------------------------------------------------------------------
+# E1: pack scan
+
+
+def _e1_kernel(lo_ref, hi_ref, data_ref, gran_ref, gval_ref,
+               cnt_ref, bits_ref, acc_s, nb_s, cnt_s, bl_s, *,
+               G, SEG):
+    R = G // 128
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _init():
+        z = jnp.zeros((R, 128), jnp.int32)
+        acc_s[...] = z
+        nb_s[...] = z
+        cnt_s[...] = z
+        bl_s[...] = z
+
+    def body(i, carry):
+        acc, nb, cnt, bl = carry
+        sym = data_ref[i].astype(jnp.int32)
+        e_lo = _lookup256(lo_ref, sym, R)
+        e_hi = _lookup256(hi_ref, sym, R)
+        for half, ent in ((0, e_lo), (1, e_hi)):
+            hbits = ent & ((1 << HALF) - 1)
+            hlen = ent >> HALF
+            acc = acc | (hbits << nb)
+            nb = nb + hlen
+            bl = bl + hlen
+            emit = nb >= GRAN
+            gran_ref[2 * i + half] = acc & 0xFFFF
+            gval_ref[2 * i + half] = emit.astype(jnp.uint8)
+            acc = jnp.where(emit, acc >> GRAN, acc)
+            nb = jnp.where(emit, nb - GRAN, nb)
+            cnt = cnt + emit.astype(jnp.int32)
+        return acc, nb, cnt, bl
+
+    out = jax.lax.fori_loop(
+        0, SEG, body, (acc_s[...], nb_s[...], cnt_s[...], bl_s[...]))
+    acc_s[...], nb_s[...], cnt_s[...], bl_s[...] = out
+
+    @pl.when(s == pl.num_programs(0) - 1)
+    def _flush():
+        # residual bits (nb in [0,16)); every lane ends with >= 1
+        # zero-length pad symbol, so the final two rows carry no emission
+        # and this overwrite is collision-free (see encode_pallas)
+        gran_ref[2 * SEG - 1] = acc_s[...] & 0xFFFF
+        gval_ref[2 * SEG - 1] = (nb_s[...] > 0).astype(jnp.uint8)
+        cnt_ref[...] = cnt_s[...] + (nb_s[...] > 0).astype(jnp.int32)
+        bits_ref[...] = bl_s[...]
+
+
+@functools.partial(jax.jit, static_argnames=("K", "G", "SEG", "interpret"))
+def e1_pack(data3, lo_tab, hi_tab, *, K, G, SEG, interpret=False):
+    """data3 (K, R, 128) u8 -> (gran (2K, R, 128) i32 of u16 values,
+    gval (2K, R, 128) u8, cnt (R, 128) i32, bits (R, 128) i32)."""
+    R = G // 128
+    S = K // SEG
+    kern = functools.partial(_e1_kernel, G=G, SEG=SEG)
+    return pl.pallas_call(
+        kern,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((2, 128), lambda s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128), lambda s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SEG, R, 128), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((2 * SEG, R, 128), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * SEG, R, 128), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((2 * K, R, 128), jnp.int32),
+            jax.ShapeDtypeStruct((2 * K, R, 128), jnp.uint8),
+            jax.ShapeDtypeStruct((R, 128), jnp.int32),
+            jax.ShapeDtypeStruct((R, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, 128), jnp.int32),
+            pltpu.VMEM((R, 128), jnp.int32),
+            pltpu.VMEM((R, 128), jnp.int32),
+            pltpu.VMEM((R, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(lo_tab, hi_tab, data3)
+
+
+# ---------------------------------------------------------------------------
+# E2: granule compaction (decoder-K4 on i32 values)
+
+
+def _e2_kernel(val_ref, gran_ref, out_ref, *, rows_p, ORP):
+    W = rows_p // 128
+    iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    want = iota + 1
+    denses = []
+    wpre = [jnp.zeros((128, 1), jnp.int32)]
+    for w in range(W):
+        v = val_ref[:, w * 128:(w + 1) * 128].astype(jnp.int32)
+        cum = v
+        sh = 1
+        while sh < 128:
+            cum = cum + jnp.where(iota >= sh, pltpu.roll(cum, sh, axis=1), 0)
+            sh <<= 1
+        pos = jnp.zeros((128, 128), jnp.int32)
+        t = 64
+        while t:
+            npos = pos + t
+            c = jnp.take_along_axis(cum, npos - 1, axis=1)
+            pos = jnp.where(c < want, npos, pos)
+            t >>= 1
+        g = gran_ref[:, w * 128:(w + 1) * 128]
+        denses.append(jnp.take_along_axis(g, jnp.minimum(pos, 127), axis=1))
+        wpre.append(wpre[-1] + cum[:, 127:128])
+
+    for oc in range(ORP // 128):
+        i_vec = iota + oc * 128
+        q = jnp.full((128, 128), oc, jnp.int32)
+        wsel = jnp.broadcast_to(wpre[oc], (128, 128))
+        for w in range(oc + 1, W):
+            ge = i_vec >= jnp.broadcast_to(wpre[w], (128, 128))
+            q = q + ge.astype(jnp.int32)
+            wsel = jnp.where(ge, jnp.broadcast_to(wpre[w], (128, 128)), wsel)
+        p = jnp.clip(i_vec - wsel, 0, 127)
+        out = jnp.zeros((128, 128), jnp.int32)
+        for w in range(oc, W):
+            cand = jnp.take_along_axis(denses[w], p, axis=1)
+            out = jnp.where(q == w, cand, out)
+        out_ref[:, oc * 128:(oc + 1) * 128] = out
+
+
+@functools.partial(jax.jit, static_argnames=("G", "rows_p", "ORP",
+                                             "interpret"))
+def e2_compact(granT, gvalT, *, G, rows_p, ORP, interpret=False):
+    kern = functools.partial(_e2_kernel, rows_p=rows_p, ORP=ORP)
+    return pl.pallas_call(
+        kern,
+        grid=(G // 128,),
+        in_specs=[
+            pl.BlockSpec((128, rows_p), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, rows_p), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((128, ORP), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, ORP), jnp.int32),
+        interpret=interpret,
+    )(gvalT, granT)
+
+
+# ---------------------------------------------------------------------------
+# E3: per-lane phase shift (device) + window placement (host, vectorized)
+
+
+@functools.partial(jax.jit, static_argnames=("G", "ORP"))
+def shift_lanes(denseT, counts, shift, *, G, ORP):
+    """out[g, i] = (d[g,i] << a_g | d[g,i-1] >> (16-a_g)) & 0xFFFF with
+    d masked to the lane's real granules (compaction garbage zeroed)."""
+    iota = jnp.arange(ORP, dtype=jnp.int32)[None, :]
+    d = jnp.where(iota < counts.reshape(G, 1), denseT, 0)
+    a = shift.reshape(G, 1)
+    prev = jnp.concatenate([jnp.zeros((G, 1), jnp.int32), d[:, :-1]], axis=1)
+    lo = (d << a) & 0xFFFF
+    hi = jnp.where(a > 0, prev >> (GRAN - a), 0)
+    return lo | hi
+
+
+def place_lanes(shifted: np.ndarray, shift: np.ndarray,
+                lane_bits: np.ndarray, word_off: np.ndarray,
+                n_granules: int) -> np.ndarray:
+    """Place each lane's shifted granule run at its window offset.
+
+    Lane g's shifted bits occupy granules [W_g, W_g + occ_g) with
+    occ = ((a + L - 1) >> 4) + 1; only the LAST of those can overlap the
+    next lane (and then their bit ranges are disjoint).  So: one masked
+    flat assignment for the interiors [W_g, W_g + occ_g - 1) — provably
+    disjoint ranges — then |= of the per-lane tail granules (which land
+    on interior starts of successor lanes, hence OR after assign)."""
+    G, ORP = shifted.shape
+    out = np.zeros(n_granules + 2, dtype=np.int64)
+    a = shift.astype(np.int64)
+    L = lane_bits.astype(np.int64)
+    occ = np.where(L > 0, ((a + L - 1) >> 4) + 1, 0)
+    dump = n_granules + 1
+    idx = word_off[:, None] + np.arange(ORP, dtype=np.int64)[None, :]
+    interior = np.arange(ORP)[None, :] < (occ - 1)[:, None]
+    idx_int = np.where(interior, idx, dump)
+    out[idx_int.reshape(-1)] = shifted.reshape(-1)
+    out[dump] = 0
+    tail_idx = np.where(occ > 0, word_off + occ - 1, dump)
+    tail_val = np.take_along_axis(
+        shifted, (occ - 1).reshape(G, 1).clip(0, ORP - 1), axis=1)[:, 0]
+    np.bitwise_or.at(out, tail_idx, np.where(occ > 0, tail_val, 0))
+    out[dump] = 0
+    return (out[:n_granules] & 0xFFFF).astype(np.uint16)
+
+
+# ---------------------------------------------------------------------------
+# Host wrapper
+
+
+def encode_pallas(data, tree: np.ndarray | None = None, lanes=None,
+                  interpret=False):
+    """Device-encode bytes into a reference-format HuffFile.
+
+    Pack, compaction, and phase shift run on device; the host does a
+    per-lane (not per-symbol) vectorized placement.  Falls back to the
+    host encoder (huffio/encoder.py) for tiny inputs, >26-bit codes, or
+    a full 256-symbol alphabet (no spare byte for the lane pad symbol)."""
+    from huffmandecoderongpus_tpu.huffio.encoder import encode_bytes
+    from huffmandecoderongpus_tpu.huffio.format import HuffFile
+    from huffmandecoderongpus_tpu.huffio.tree import build_tree, tree_codes
+
+    arr = np.frombuffer(bytes(data), dtype=np.uint8) if isinstance(
+        data, (bytes, bytearray, memoryview)) else np.ascontiguousarray(
+            data, dtype=np.uint8)
+    if arr.size == 0:
+        raise ValueError("cannot encode empty input")
+    if tree is None:
+        tree = build_tree(np.bincount(arr, minlength=256))
+    code, length, present = tree_codes(tree)
+    free = np.nonzero(~present)[0]
+    N = int(arr.size)
+    if (length.max(initial=0) > 2 * HALF or N < 8192 or free.size == 0):
+        return encode_bytes(arr, tree=tree)
+
+    if lanes is None:
+        G = 1 << max((N // 512).bit_length() - 1, 0)
+        G = max(128, min(G, 1 << 13))
+    else:
+        G = int(lanes)
+    SEG = 16
+    K_real = -(-N // G)
+    K = -(-(K_real + 1) // SEG) * SEG  # >= 1 trailing pad symbol per lane
+    R = G // 128
+
+    pad_sym = int(free[0])
+    lo_t, hi_t = build_pack_tables(code, length)
+    lo_t[pad_sym] = 0
+    hi_t[pad_sym] = 0
+    lanes_mat = np.full((G, K), pad_sym, dtype=np.uint8)
+    tmp = np.full(G * K_real, pad_sym, dtype=np.uint8)
+    tmp[:N] = arr
+    lanes_mat[:, :K_real] = tmp.reshape(G, K_real)
+    data3 = np.ascontiguousarray(lanes_mat.T).reshape(K, R, 128)
+
+    gran, gval, cnt2, bits2 = e1_pack(
+        jnp.asarray(data3), jnp.asarray(_chunk256(lo_t)),
+        jnp.asarray(_chunk256(hi_t)), K=K, G=G, SEG=SEG,
+        interpret=interpret)
+
+    rows = 2 * K
+    rows_p = -(-rows // 128) * 128
+    granT = gran.reshape(rows, G).T
+    gvalT = gval.reshape(rows, G).T
+    if rows_p != rows:
+        granT = jnp.pad(granT, ((0, 0), (0, rows_p - rows)))
+        gvalT = jnp.pad(gvalT, ((0, 0), (0, rows_p - rows)))
+    hist = np.bincount(arr, minlength=256)
+    avg = float(hist @ length.astype(np.int64)) / N
+    ORP = -(-min(int(K_real * avg / GRAN * 1.6) + 4, rows_p) // 128) * 128
+    denseT = e2_compact(granT, gvalT, G=G, rows_p=rows_p, ORP=ORP,
+                        interpret=interpret)
+
+    counts = np.asarray(cnt2).reshape(G)
+    lane_bits = np.asarray(bits2).reshape(G).astype(np.int64)
+    if counts.max(initial=0) >= ORP:
+        return encode_bytes(arr, tree=tree)
+    total_bits = int(lane_bits.sum())
+    if total_bits > 2**31 - 1:
+        raise ValueError("compressed stream overflows the int32 header")
+    P = np.concatenate(([0], np.cumsum(lane_bits)))[:G]
+    shift = (P & (GRAN - 1)).astype(np.int32)
+    word_off = (P >> 4).astype(np.int64)
+
+    shifted = np.asarray(shift_lanes(
+        denseT, jnp.asarray(counts.astype(np.int32)), jnp.asarray(shift),
+        G=G, ORP=ORP)).astype(np.int64)
+    n_granules = -(-total_bits // GRAN)
+    gr = place_lanes(shifted, shift, lane_bits, word_off, n_granules)
+    payload = gr.astype("<u2").tobytes()[: (total_bits + 7) // 8]
+    return HuffFile(tree=tree, bits=total_bits, uncompressed_size=N,
+                    payload=np.frombuffer(payload, dtype=np.uint8).copy())
