@@ -112,9 +112,10 @@ def _from_tiles(arr4d, steps, G):
     return arr4d.transpose(1, 0, 2, 3).reshape(steps, G)
 
 
-@functools.partial(jax.jit, static_argnames=("B", "H", "N", "G", "interpret"))
+@functools.partial(jax.jit, static_argnames=("B", "H", "N", "G", "interpret",
+                                             "vma"))
 def lane_scan_pallas_tiled(bits4, entry_tab_chunks, off4, *, B, H, N, G,
-                           interpret=False, lim4=None):
+                           interpret=False, lim4=None, vma=None):
     """Tiled-layout main scan: bits4 (T, steps, 8, 128) u8, off4
     (T, 8, 128) i32 -> (sym4, valid4) (T, steps, 8, 128) u8.
 
@@ -150,8 +151,10 @@ def lane_scan_pallas_tiled(bits4, entry_tab_chunks, off4, *, B, H, N, G,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, steps_p, 8, CHUNK), jnp.uint8),
-            jax.ShapeDtypeStruct((T, steps_p, 8, CHUNK), jnp.uint8),
+            jax.ShapeDtypeStruct((T, steps_p, 8, CHUNK), jnp.uint8,
+                                 vma=set(vma) if vma else None),
+            jax.ShapeDtypeStruct((T, steps_p, 8, CHUNK), jnp.uint8,
+                                 vma=set(vma) if vma else None),
         ],
         interpret=interpret,
     )(entry_tab_chunks, off4, lim4, bits4)
@@ -331,9 +334,10 @@ def _candidate_kernel(tab_ref, lim_ref, bits_ref, cnt_ref, ex_ref, *, B, H,
     ex_ref[...] = ex
 
 
-@functools.partial(jax.jit, static_argnames=("B", "H", "N", "G", "interpret"))
+@functools.partial(jax.jit, static_argnames=("B", "H", "N", "G", "interpret",
+                                             "vma"))
 def candidate_scan_pallas_tiled(bits4, entry_tab_chunks, *, B, H, N, G,
-                                interpret=False, lim4=None):
+                                interpret=False, lim4=None, vma=None):
     """Tiled candidate scan: bits4 (T, steps, 8, 128) -> (cnt (H, G),
     exit_off (H, G)) int32 (candidate maps are tiny, returned 2D)."""
     steps = B + H
@@ -364,8 +368,10 @@ def candidate_scan_pallas_tiled(bits4, entry_tab_chunks, *, B, H, N, G,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, H, 8, CHUNK), jnp.int32),
-            jax.ShapeDtypeStruct((T, H, 8, CHUNK), jnp.int32),
+            jax.ShapeDtypeStruct((T, H, 8, CHUNK), jnp.int32,
+                                 vma=set(vma) if vma else None),
+            jax.ShapeDtypeStruct((T, H, 8, CHUNK), jnp.int32,
+                                 vma=set(vma) if vma else None),
         ],
         interpret=interpret,
     )(entry_tab_chunks, lim4, bits4)

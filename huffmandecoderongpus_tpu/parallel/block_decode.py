@@ -114,7 +114,9 @@ def _shard_body(words, lut_sym, lut_len, *, S, N, D, H, L, height, axis):
         my_n = jnp.where(is_mine, cn, my_n)
         return ex, base + cn, my_e, my_base, my_n
 
-    z = jnp.int32(0)
+    # the carry becomes device-varying inside the loop (via `d`); mark the
+    # replicated zero seeds as varying so the vma checker accepts the scan
+    z = jax.lax.pcast(jnp.int32(0), (axis,), to='varying')
     _final_e, total, my_e, my_base, my_n = jax.lax.fori_loop(
         0, D, comp, (z, z, z, z, z))
 
@@ -145,7 +147,7 @@ def _compiled(mesh: Mesh, axis: str, S: int, N: int, D: int, H: int, L: int,
         mesh=mesh,
         in_specs=(P(), P(), P()),  # words + LUTs replicated
         out_specs=(P(axis), P(axis), P(axis), P(axis)),
-        check_vma=False,
+        check_vma=True,
     )
     return jax.jit(mapped)
 

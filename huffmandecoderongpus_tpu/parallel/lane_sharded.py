@@ -50,9 +50,10 @@ def _stitch(cnt, ex, d, *, H, Gl, D, axis):
         off, base = carry  # (H,), (H,)
         return ex[off, g], base + cnt[off, g]
 
-    off0 = jnp.arange(H, dtype=jnp.int32)
+    vary = functools.partial(jax.lax.pcast, axis_name=(axis,), to='varying')
+    off0 = vary(jnp.arange(H, dtype=jnp.int32))
     shard_ex, shard_cnt = jax.lax.fori_loop(
-        0, Gl, fold, (off0, jnp.zeros(H, dtype=jnp.int32)))
+        0, Gl, fold, (off0, vary(jnp.zeros(H, dtype=jnp.int32))))
 
     # one tiny collective: (D, H) maps; identical composition everywhere
     all_ex = jax.lax.all_gather(shard_ex, axis)  # (D, H)
@@ -65,7 +66,7 @@ def _stitch(cnt, ex, d, *, H, Gl, D, axis):
         my_base = jnp.where(is_mine, base, my_base)
         return all_ex[k, e], base + all_cnt[k, e], my_e, my_base
 
-    z0 = jnp.int32(0)
+    z0 = vary(jnp.int32(0))
     _, total, my_e, my_base = jax.lax.fori_loop(0, D, comp, (z0, z0, z0, z0))
 
     def lane_fold(g, carry):
@@ -76,8 +77,8 @@ def _stitch(cnt, ex, d, *, H, Gl, D, axis):
 
     _, _, entry_off, bases = jax.lax.fori_loop(
         0, Gl, lane_fold,
-        (my_e, my_base, jnp.zeros(Gl, dtype=jnp.int32),
-         jnp.zeros(Gl, dtype=jnp.int32)))
+        (my_e, my_base, vary(jnp.zeros(Gl, dtype=jnp.int32)),
+         vary(jnp.zeros(Gl, dtype=jnp.int32))))
     return entry_off, bases, total
 
 
@@ -89,7 +90,7 @@ def _shard_tail_pallas(bits4, tab, cnt, ex, lim4, *, d, B, H, N, Gl, D, axis,
     entry_off, bases, total = _stitch(cnt, ex, d, H=H, Gl=Gl, D=D, axis=axis)
     sym4, valid4 = pld.lane_scan_pallas_tiled(
         bits4, tab, entry_off.reshape(T, 8, pld.CHUNK), B=B, H=H, N=N, G=Gl,
-        lim4=lim4, interpret=interpret)
+        lim4=lim4, interpret=interpret, vma=(axis,))
     steps = B + H
     sym = pld._from_tiles(sym4, steps, Gl)
     valid = pld._from_tiles(valid4, steps, Gl).astype(bool)
@@ -118,7 +119,8 @@ def _shard_body(bits_loc, tab, *, B, H, N, Gl, D, axis, pallas=False,
         bits4 = pld._to_tiles(bits_loc, steps, Gl)
         lim4 = (N - lane_base * 1).reshape(T, 8, pld.CHUNK)
         cnt, ex = pld.candidate_scan_pallas_tiled(
-            bits4, tab, B=B, H=H, N=N, G=Gl, lim4=lim4, interpret=interpret)
+            bits4, tab, B=B, H=H, N=N, G=Gl, lim4=lim4, interpret=interpret,
+            vma=(axis,))
         return _shard_tail_pallas(bits4, tab, cnt, ex, lim4, d=d, B=B, H=H,
                                   N=N, Gl=Gl, D=D, axis=axis, T=T,
                                   interpret=interpret)
@@ -138,9 +140,13 @@ def _shard_body(bits_loc, tab, *, B, H, N, Gl, D, axis, pallas=False,
         return (nxt, cnt, ex, done | exiting), None
 
     js = jnp.arange(B + H, dtype=jnp.int32)
-    z = jnp.zeros((H, Gl), dtype=jnp.int32)
+    # carries turn device-varying inside the scan (via lane_base); mark
+    # the replicated seeds as varying for the vma checker
+    vary = functools.partial(jax.lax.pcast, axis_name=(axis,), to='varying')
+    z = vary(jnp.zeros((H, Gl), dtype=jnp.int32))
     (node, cnt, ex, _), _ = jax.lax.scan(
-        cstep, (z, z, z, jnp.zeros((H, Gl), dtype=bool)), (bits_loc, js))
+        cstep, (z, z, z, vary(jnp.zeros((H, Gl), dtype=bool))),
+        (bits_loc, js))
 
     entry_off, bases, total = _stitch(cnt, ex, d, H=H, Gl=Gl, D=D, axis=axis)
 
@@ -156,7 +162,8 @@ def _shard_body(bits_loc, tab, *, B, H, N, Gl, D, axis, pallas=False,
         return (nxt, done), ((e >> 16).astype(jnp.uint8), emit)
 
     _, (sym, valid) = jax.lax.scan(
-        mstep, (jnp.zeros(Gl, dtype=jnp.int32), jnp.zeros(Gl, dtype=bool)),
+        mstep, (vary(jnp.zeros(Gl, dtype=jnp.int32)),
+                vary(jnp.zeros(Gl, dtype=bool))),
         (bits_loc, js))
     n_lane = valid.sum(axis=0).astype(jnp.int32)
     return sym, valid, n_lane, total[None]
@@ -167,11 +174,16 @@ def _compiled(mesh: Mesh, axis: str, B: int, H: int, N: int, Gl: int, D: int,
               pallas: bool, interpret: bool):
     body = functools.partial(_shard_body, B=B, H=H, N=N, Gl=Gl, D=D,
                              axis=axis, pallas=pallas, interpret=interpret)
+    # check_vma: on for the XLA body; the Pallas body trips a JAX
+    # limitation (pallas_call's internal fori-carry block refs get
+    # mismatched varying axes — the error itself says to "pass the
+    # check_vma=False argument to jax.shard_map as a temporary
+    # workaround"), so the vma checker is disabled only there.
     mapped = shard_map(
         body, mesh=mesh,
         in_specs=(P(None, axis), P()),
         out_specs=(P(None, axis), P(None, axis), P(axis), P(axis)),
-        check_vma=False)
+        check_vma=not pallas)
     return jax.jit(mapped)
 
 
