@@ -190,46 +190,49 @@ def _k1_kernel(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
 
     @pl.when(live_any > 0)
     def _cands():
-        def body(i, carry):
-            nodes = list(carry[0:CH])
-            cnts = list(carry[CH:2 * CH])
-            recs = list(carry[2 * CH:3 * CH])
-            cums = list(carry[3 * CH:4 * CH])
-            for u in range(UNROLL):
-                lj = i * UNROLL + u
-                j = s * SEG + lj
-                b = bits_ref[lj].astype(jnp.int32)
-                sh = (b & 1) << 4
-                pm = b >= PAD_BIT
-                v0 = v_scr[lj]
-                cum0 = cum_scr[lj]
-                late = jnp.where(j + 1 >= B, 1, 0)
-                res_or = v0 | late
-                rec_val = (j << 2) | (v0 << 1) | 1
-                for c in range(CH):
-                    started = jnp.where(j >= c + 1, 1, 0)
-                    live = (1 - (recs[c] & 1)) * started
-                    w = jnp.take_along_axis(tab_bc, nodes[c], axis=1)
-                    e = (w >> sh) & 0xFFFF
-                    e = jnp.where(pm, 0, e)
-                    nodes[c] = jnp.where(live > 0, e & 127, nodes[c])
-                    em = ((e >> 7) & 1) * live
-                    cnts[c] = cnts[c] + em
-                    resolve = (em * res_or) > 0
-                    recs[c] = jnp.where(resolve, rec_val, recs[c])
-                    cums[c] = jnp.where(resolve, cum0, cums[c])
-            return tuple(nodes + cnts + recs + cums)
+        # all CH chains batched as (CH*R, 128): one gather per step for
+        # every chain; chain c's start row (c+1) gates via a row iota
+        tab_bc2 = jnp.broadcast_to(tab_ref[0:1, :], (CH * R, 128))
+        chain_of = jax.lax.broadcasted_iota(
+            jnp.int32, (CH, R, 128), 0).reshape(CH * R, 128)
 
-        init = tuple([nodeC[c] for c in range(CH)]
-                     + [cntC[c] for c in range(CH)]
-                     + [recC[c] for c in range(CH)]
-                     + [cumMC[c] for c in range(CH)])
-        out = jax.lax.fori_loop(0, SEG // UNROLL, body, init)
-        for c in range(CH):
-            nodeC[c] = out[c]
-            cntC[c] = out[CH + c]
-            recC[c] = out[2 * CH + c]
-            cumMC[c] = out[3 * CH + c]
+        def body(i, carry):
+            node, cnt, rec, cum = carry
+            lj = i
+            j = s * SEG + lj
+            b = bits_ref[lj].astype(jnp.int32)
+            sh3 = jnp.broadcast_to(((b & 1) << 4)[None], (CH, R, 128))
+            sh = sh3.reshape(CH * R, 128)
+            pm = jnp.broadcast_to(
+                (b >= PAD_BIT)[None], (CH, R, 128)).reshape(CH * R, 128)
+            v0 = jnp.broadcast_to(
+                v_scr[lj][None], (CH, R, 128)).reshape(CH * R, 128)
+            cum0 = jnp.broadcast_to(
+                cum_scr[lj][None], (CH, R, 128)).reshape(CH * R, 128)
+            late = jnp.where(j + 1 >= B, 1, 0)
+            rec_val = ((j << 2) | 1) + (v0 << 1)
+            live = (1 - (rec & 1)) * jnp.where(
+                j >= chain_of + 1, 1, 0)
+            w = jnp.take_along_axis(tab_bc2, node, axis=1)
+            e = (w >> sh) & 0xFFFF
+            e = jnp.where(pm, 0, e)
+            node = jnp.where(live > 0, e & 127, node)
+            em = ((e >> 7) & 1) * live
+            cnt = cnt + em
+            resolve = (em * (v0 | late)) > 0
+            rec = jnp.where(resolve, rec_val, rec)
+            cum = jnp.where(resolve, cum0, cum)
+            return node, cnt, rec, cum
+
+        init = (nodeC[...].reshape(CH * R, 128),
+                cntC[...].reshape(CH * R, 128),
+                recC[...].reshape(CH * R, 128),
+                cumMC[...].reshape(CH * R, 128))
+        node, cnt, rec, cum = jax.lax.fori_loop(0, SEG, body, init)
+        nodeC[...] = node.reshape(CH, R, 128)
+        cntC[...] = cnt.reshape(CH, R, 128)
+        recC[...] = rec.reshape(CH, R, 128)
+        cumMC[...] = cum.reshape(CH, R, 128)
 
     # ---- epilogue: assemble per-lane candidate maps -----------------------
     @pl.when(s == pl.num_programs(0) - 1)
