@@ -197,7 +197,10 @@ def main(argv=None) -> None:
         if hf.index is not None:
             from huffmandecoderongpus_tpu.huffio.sidecar import index_path, write_index
 
-            write_index(index_path(dst), hf.index[0], hf.index[1])
+            write_index(index_path(dst), hf.index[0], hf.index[1],
+                        bits=hf.bits,
+                        uncompressed_size=hf.uncompressed_size,
+                        payload=hf.payload)
         ratio = hf.file_bytes() / max(raw.size, 1)
         print(f"{src}: {raw.size} -> {hf.file_bytes()} bytes "
               f"({ratio:.3f}), {hf.nodes} nodes, {hf.bits} bits"

@@ -86,6 +86,8 @@ def read_huff(path, load_index: bool = True) -> HuffFile:
         raw = f.read()
     if raw[:4] != MAGIC:
         raise ValueError(f"{path}: expected magic {MAGIC!r}, got {raw[:4]!r}")
+    if len(raw) < 4 + _HEADER.size:
+        raise ValueError(f"{path}: truncated header ({len(raw)} bytes)")
     nodes, bits, uncompressed_size = _HEADER.unpack_from(raw, 4)
     if nodes < 1 or bits < 0 or uncompressed_size < 0:
         raise ValueError(
@@ -116,7 +118,9 @@ def read_huff(path, load_index: bool = True) -> HuffFile:
     if load_index:
         from huffmandecoderongpus_tpu.huffio.sidecar import find_index
 
-        index = find_index(path)
+        index = find_index(path, bits=bits,
+                           uncompressed_size=uncompressed_size,
+                           payload=payload)
     return HuffFile(tree=tree, bits=bits, uncompressed_size=uncompressed_size,
                     payload=payload, index=index)
 

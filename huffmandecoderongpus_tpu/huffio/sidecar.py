@@ -15,11 +15,17 @@ Layout (all ints big-endian, matching the container's convention,
 huffdata.c:21-25):
 
   magic  b"HIDX"
-  int32  version (= 1)
+  int32  version (= 2)
   int32  block_symbols (K)
   int32  n_blocks
-  int32  reserved (0)
+  int32  binding crc32 over (bits BE, uncompressedsize BE, payload)
   n_blocks x int64: bit offset of symbol g*K
+
+The binding crc ties the index to one specific payload: a stale or
+copied sidecar (advisor finding, round 1) fails verification on load and
+the decoder falls back to on-device entry discovery instead of silently
+trusting mismatched offsets.  Version-1 files (no binding) are likewise
+ignored.
 """
 
 from __future__ import annotations
@@ -30,7 +36,7 @@ import struct
 import numpy as np
 
 MAGIC = b"HIDX"
-VERSION = 1
+VERSION = 2
 _HEADER = struct.Struct(">4siiii")
 DEFAULT_BLOCK_SYMBOLS = 4096
 
@@ -47,33 +53,62 @@ def build_block_index(code_lengths_per_symbol: np.ndarray,
     return np.ascontiguousarray(starts[::block_symbols])
 
 
-def write_index(path, offsets: np.ndarray, block_symbols: int) -> None:
+def payload_binding(bits: int, uncompressed_size: int,
+                    payload: np.ndarray) -> int:
+    """crc32 binding an index to one (bits, size, payload) triple."""
+    import struct as _struct
+    import zlib
+
+    head = _struct.pack(">ii", int(bits), int(uncompressed_size))
+    return zlib.crc32(np.ascontiguousarray(payload, dtype=np.uint8).tobytes(),
+                      zlib.crc32(head)) & 0x7FFFFFFF
+
+
+def write_index(path, offsets: np.ndarray, block_symbols: int, *,
+                bits: int, uncompressed_size: int,
+                payload: np.ndarray) -> None:
     offsets = np.ascontiguousarray(offsets, dtype=">i8")
+    crc = payload_binding(bits, uncompressed_size, payload)
     with open(path, "wb") as f:
         f.write(_HEADER.pack(MAGIC, VERSION, int(block_symbols),
-                             offsets.shape[0], 0))
+                             offsets.shape[0], crc))
     with open(path, "ab") as f:
         f.write(offsets.tobytes())
 
 
-def read_index(path) -> tuple[np.ndarray, int]:
-    """Returns (offsets int64 (n_blocks,), block_symbols)."""
+def read_index(path) -> tuple[np.ndarray, int, int]:
+    """Returns (offsets int64 (n_blocks,), block_symbols, binding_crc)."""
     with open(path, "rb") as f:
         raw = f.read()
     if raw[:4] != MAGIC:
         raise ValueError(f"{path}: expected magic {MAGIC!r}, got {raw[:4]!r}")
-    magic, version, k, n, _ = _HEADER.unpack_from(raw, 0)
+    magic, version, k, n, crc = _HEADER.unpack_from(raw, 0)
     if version != VERSION:
         raise ValueError(f"{path}: unsupported index version {version}")
     if k < 1 or n < 0 or len(raw) < _HEADER.size + 8 * n:
         raise ValueError(f"{path}: bad index header k={k} n={n}")
     offsets = np.frombuffer(raw, dtype=">i8", count=n, offset=_HEADER.size)
-    return offsets.astype(np.int64), k
+    return offsets.astype(np.int64), k, crc
 
 
-def find_index(huff_path) -> tuple[np.ndarray, int] | None:
-    """Load the sidecar next to a `.huff` file if one exists."""
+def find_index(huff_path, *, bits: int | None = None,
+               uncompressed_size: int | None = None,
+               payload: np.ndarray | None = None
+               ) -> tuple[np.ndarray, int] | None:
+    """Load and VERIFY the sidecar next to a `.huff` file.
+
+    Returns None (decoder falls back to discovery) when there is no
+    sidecar, it has an old/unknown version, or its binding crc does not
+    match the payload it sits next to."""
     p = index_path(huff_path)
-    if p.exists():
-        return read_index(p)
-    return None
+    if not p.exists():
+        return None
+    try:
+        offsets, k, crc = read_index(p)
+    except ValueError:
+        return None
+    if payload is not None:
+        want = payload_binding(bits, uncompressed_size, payload)
+        if crc != want:
+            return None
+    return offsets, k

@@ -548,10 +548,12 @@ def decode_lanedfa_pallas(hf, lanes: int | None = None,
                           discovery: str = "candidates") -> np.ndarray:
     """Pallas lane-DFA decode.
 
-    ``discovery="sync"`` (default): one Pallas main scan from offset 0,
-    then the XLA self-synchronizing short scans + splice
+    ``discovery="candidates"`` (default, hardware-validated): the full
+    Pallas candidate kernel.  ``discovery="sync"``: one Pallas main scan
+    from offset 0, then the XLA self-synchronizing short scans + splice
     (ops/lanedfa_sync.py) — the short scans are too small to benefit from
-    Mosaic.  ``discovery="candidates"``: the full Pallas candidate kernel.
+    Mosaic.  The round-2 successor (ops/pallas_widescan.py) fuses sync
+    discovery into the scan kernel itself.
     """
     dfa = build_lane_dfa(hf.tree)
     H = max(dfa.height, 1)

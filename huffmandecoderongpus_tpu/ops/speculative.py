@@ -126,15 +126,22 @@ def speculative_decode_xla(
     # position via top-down binary decomposition over the doubling levels.
     i = jnp.arange(size, dtype=jnp.int32)
     pos = jnp.zeros(size, dtype=jnp.int32)
+    bad = jnp.zeros((), dtype=jnp.bool_)
     for k in range(levels - 1, -1, -1):
         delta = jnp.take(steps[k], pos, mode="clip")
         take = ((i >> k) & 1) == 1
+        # a -1 span consumed by any chain means a corrupt stream; the
+        # clamp below would silently freeze that position, so fold the
+        # condition into found_size (advisor finding: last_end == bits
+        # alone can coincidentally pass on corrupt data)
+        bad = bad | jnp.any(take & (delta == -1))
         pos = jnp.where(take, pos + jnp.maximum(delta, 0), pos)
     result = jnp.take(sym, pos, mode="clip")
 
-    # Stage 6 (findmax role): the chain must end exactly at `bits`.
+    # Stage 6 (findmax role): the chain must end exactly at `bits` AND
+    # never have consumed an invalid doubling span.
     last_end = pos[-1] + jnp.take(ln, pos[-1], mode="clip") if size > 0 else jnp.int32(0)
-    found_size = jnp.where(last_end == bits, size, -1)
+    found_size = jnp.where((last_end == bits) & ~bad, size, -1)
     return result, found_size
 
 

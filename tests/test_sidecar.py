@@ -19,10 +19,15 @@ from huffmandecoderongpus_tpu.ops.lanedfa import decode_lanedfa_indexed
 def test_index_roundtrip(tmp_path):
     offsets = np.array([0, 123, 4567, 89012], dtype=np.int64)
     p = tmp_path / "x.huffidx"
-    write_index(p, offsets, 4096)
-    got, k = read_index(p)
+    payload = np.arange(64, dtype=np.uint8)
+    write_index(p, offsets, 4096, bits=500, uncompressed_size=100,
+                payload=payload)
+    got, k, crc = read_index(p)
     assert k == 4096
     np.testing.assert_array_equal(got, offsets)
+    from huffmandecoderongpus_tpu.huffio.sidecar import payload_binding
+
+    assert crc == payload_binding(500, 100, payload)
 
 
 def test_index_bad_magic(tmp_path):
@@ -65,7 +70,8 @@ def test_read_huff_autoloads_sidecar(tmp_path, rng):
     hf = encode_bytes(raw, block_symbols=500)
     dst = tmp_path / "x.huff"
     write_huff(dst, hf)
-    write_index(index_path(dst), hf.index[0], hf.index[1])
+    write_index(index_path(dst), hf.index[0], hf.index[1], bits=hf.bits,
+                uncompressed_size=hf.uncompressed_size, payload=hf.payload)
     hf2 = read_huff(dst)
     assert hf2.index is not None and hf2.index[1] == 500
     out = get_decoder("lane_dfa")(hf2)
@@ -73,6 +79,25 @@ def test_read_huff_autoloads_sidecar(tmp_path, rng):
     # and without sidecar, index is None
     hf3 = read_huff(dst, load_index=False)
     assert hf3.index is None
+
+
+def test_stale_sidecar_rejected(tmp_path, rng):
+    """A sidecar bound to a DIFFERENT payload must be ignored (advisor
+    finding: stale index silently drove the indexed decoder)."""
+    raw_a = rng.integers(0, 256, size=5000, dtype=np.uint8)
+    raw_b = rng.integers(0, 256, size=5000, dtype=np.uint8)
+    hf_a = encode_bytes(raw_a, block_symbols=500)
+    hf_b = encode_bytes(raw_b, block_symbols=500)
+    dst = tmp_path / "x.huff"
+    write_huff(dst, hf_b)
+    # stale index: built for payload A, sitting next to payload B
+    write_index(index_path(dst), hf_a.index[0], hf_a.index[1],
+                bits=hf_a.bits, uncompressed_size=hf_a.uncompressed_size,
+                payload=hf_a.payload)
+    hf2 = read_huff(dst)
+    assert hf2.index is None
+    out = get_decoder("lane_dfa")(hf2)  # discovery path, still exact
+    np.testing.assert_array_equal(out, raw_b)
 
 
 def test_cli_encode_with_index(tmp_path, capsys):
