@@ -367,8 +367,13 @@ def k2_compose(ex3, *, Rg, NG, interpret=False):
 # K3: fix scan (re-decode pre-merge rows of lanes with nonzero entry)
 
 
-def _k3_kernel(tab_ref, ent_ref, bits_ref, sym_ref, val_ref, nodeF, *,
-               G, SEG, UNROLL, md):
+def _k3_kernel(tab_ref, ent_ref, cut_ref, bits_ref, sym_ref, val_ref, nodeF,
+               *, G, SEG, UNROLL, md):
+    """Adaptive fix scan: full-length grid, but a segment runs only while
+    some lane's splice window (cut) extends into it — merge rows are
+    usually small, yet phase-locked runs of one short code can defer
+    self-sync for hundreds of bits (measured p99.9 ~ 756 rows on news),
+    so the window cannot be statically bounded."""
     R = G // 128
     s = pl.program_id(0)
     tab_bc = jnp.broadcast_to(tab_ref[0:1, :], (R, 128))
@@ -379,37 +384,39 @@ def _k3_kernel(tab_ref, ent_ref, bits_ref, sym_ref, val_ref, nodeF, *,
 
     ent = ent_ref[...]
 
-    def body(i, node):
-        for grp in range(UNROLL // md):
-            sacc = jnp.zeros((R, 128), jnp.uint8)
-            vacc = jnp.zeros((R, 128), jnp.int32)
-            for u in range(md):
-                lj = i * UNROLL + grp * md + u
-                j = s * SEG + lj
-                b = bits_ref[lj].astype(jnp.int32)
-                w = jnp.take_along_axis(tab_bc, node, axis=1)
-                e = (w >> ((b & 1) << 4)) & 0xFFFF
-                e = jnp.where(b >= PAD_BIT, 0, e)
-                alive = j >= ent
-                node = jnp.where(alive, e & 127, node)
-                emit1 = jnp.where(alive, (e >> 7) & 1, 0)
-                sacc = sacc | jnp.where(
-                    alive, e >> 8, 0).astype(jnp.uint8)
-                vacc = vacc | emit1
-            sl = (i * UNROLL + grp * md) // md
-            sym_ref[sl] = sacc
-            val_ref[sl] = vacc.astype(jnp.uint8)
-        return node
+    @pl.when(jnp.max(cut_ref[...]) > s * SEG)
+    def _run():
+        def body(i, node):
+            for grp in range(UNROLL // md):
+                sacc = jnp.zeros((R, 128), jnp.uint8)
+                vacc = jnp.zeros((R, 128), jnp.int32)
+                for u in range(md):
+                    lj = i * UNROLL + grp * md + u
+                    j = s * SEG + lj
+                    b = bits_ref[lj].astype(jnp.int32)
+                    w = jnp.take_along_axis(tab_bc, node, axis=1)
+                    e = (w >> ((b & 1) << 4)) & 0xFFFF
+                    e = jnp.where(b >= PAD_BIT, 0, e)
+                    alive = j >= ent
+                    node = jnp.where(alive, e & 127, node)
+                    emit1 = jnp.where(alive, (e >> 7) & 1, 0)
+                    sacc = sacc | jnp.where(
+                        alive, e >> 8, 0).astype(jnp.uint8)
+                    vacc = vacc | emit1
+                sl = (i * UNROLL + grp * md) // md
+                sym_ref[sl] = sacc
+                val_ref[sl] = vacc.astype(jnp.uint8)
+            return node
 
-    nodeF[...] = jax.lax.fori_loop(0, SEG // UNROLL, body, nodeF[...])
+        nodeF[...] = jax.lax.fori_loop(0, SEG // UNROLL, body, nodeF[...])
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "G", "FIX_ROWS", "SEG", "UNROLL", "md", "interpret"))
-def k3_fix(bits3, tabw, ent2, *, G, FIX_ROWS, SEG, UNROLL, md,
+    "G", "steps_p", "SEG", "UNROLL", "md", "interpret"))
+def k3_fix(bits3, tabw, ent2, cut2, *, G, steps_p, SEG, UNROLL, md,
            interpret=False):
     R = G // 128
-    S = FIX_ROWS // SEG
+    S = steps_p // SEG
     slots_seg = SEG // md
     kern = functools.partial(_k3_kernel, G=G, SEG=SEG, UNROLL=UNROLL, md=md)
     return pl.pallas_call(
@@ -417,6 +424,8 @@ def k3_fix(bits3, tabw, ent2, *, G, FIX_ROWS, SEG, UNROLL, md,
         grid=(S,),
         in_specs=[
             pl.BlockSpec((1, 128), lambda s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda s: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R, 128), lambda s: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -430,12 +439,12 @@ def k3_fix(bits3, tabw, ent2, *, G, FIX_ROWS, SEG, UNROLL, md,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((FIX_ROWS // md, R, 128), jnp.uint8),
-            jax.ShapeDtypeStruct((FIX_ROWS // md, R, 128), jnp.uint8),
+            jax.ShapeDtypeStruct((steps_p // md, R, 128), jnp.uint8),
+            jax.ShapeDtypeStruct((steps_p // md, R, 128), jnp.uint8),
         ],
         scratch_shapes=[pltpu.VMEM((R, 128), jnp.int32)],
         interpret=interpret,
-    )(tabw, ent2, bits3)
+    )(tabw, ent2, cut2, bits3)
 
 
 # ---------------------------------------------------------------------------
@@ -525,12 +534,11 @@ def _select_h(maps, idx, H):
 
 @functools.partial(jax.jit, static_argnames=(
     "B", "H", "G", "steps", "steps_p", "SEG", "UNROLL", "md", "Rg", "NG",
-    "FIX_ROWS", "ORP", "interpret"))
+    "ORP", "interpret"))
 def wide_decode_program(bits3, tabw, lim2, *, B, H, G, steps, steps_p, SEG,
-                        UNROLL, md, Rg, NG, FIX_ROWS, ORP, interpret=False):
+                        UNROLL, md, Rg, NG, ORP, interpret=False):
     """Full fused decode.  Returns (denseT (G, ORP) u8, n (G,) i32,
-    total i32, flag i32) — flag nonzero means a lane needed a fix window
-    deeper than FIX_ROWS (caller must fall back to the exact path)."""
+    total i32)."""
     R = G // 128
     slots_p = steps_p // md
     sym, val, cntmap, exmap, mrowmap = k1_scan(
@@ -552,19 +560,23 @@ def wide_decode_program(bits3, tabw, lim2, *, B, H, G, steps, steps_p, SEG,
     total = base[-1] + n[-1]
 
     mrow_sel = _select_h(mrowmap.reshape(HP, G), entry, H)
+    # cut = first row owned by the 0-chain: 0 for entry-0 lanes, merge
+    # row + 1 for merged candidates, past-the-end for unmerged ones
+    # (which therefore replay fully in the fix scan); lanes past the
+    # stream end decode nothing and need no fix
     cut = jnp.where(entry == 0, 0, mrow_sel + 1)
-    flag = jnp.max(jnp.where(cut > FIX_ROWS, 1, 0))
+    cut = jnp.where(lim2.reshape(G) > 0, cut, 0)
     cut_slot = jnp.where(cut > 0, (cut - 1) // md + 1, 0)
 
     fsym, fval = k3_fix(bits3, tabw, entry.reshape(R, 128),
-                        G=G, FIX_ROWS=FIX_ROWS, SEG=SEG, UNROLL=UNROLL,
-                        md=md, interpret=interpret)
-    FS = FIX_ROWS // md
+                        cut.reshape(R, 128), G=G, steps_p=steps_p, SEG=SEG,
+                        UNROLL=UNROLL, md=md, interpret=interpret)
+    slots_p0 = steps_p // md
     cs3 = cut_slot.reshape(1, R, 128)
-    sl_iota = jnp.arange(FS, dtype=jnp.int32).reshape(FS, 1, 1)
+    sl_iota = jnp.arange(slots_p0, dtype=jnp.int32).reshape(slots_p0, 1, 1)
     take_fix = sl_iota < cs3
-    sym = sym.at[:FS].set(jnp.where(take_fix, fsym, sym[:FS]))
-    val = val.at[:FS].set(jnp.where(take_fix, fval, val[:FS]))
+    sym = jnp.where(take_fix, fsym, sym)
+    val = jnp.where(take_fix, fval, val)
 
     slots_pp = -(-slots_p // 128) * 128
     symT = sym.reshape(slots_p, G).T
@@ -574,7 +586,7 @@ def wide_decode_program(bits3, tabw, lim2, *, B, H, G, steps, steps_p, SEG,
         valT = jnp.pad(valT, ((0, 0), (0, slots_pp - slots_p)))
     denseT = k4_compact(symT, valT, G=G, slots_p=slots_pp, ORP=ORP,
                         interpret=interpret)
-    return denseT, n, total, flag
+    return denseT, n, total
 
 
 # ---------------------------------------------------------------------------
@@ -598,7 +610,6 @@ def _plan(bits: int, H: int, md: int, lanes=None, avg_len=None):
     B = -(-B // SEG) * SEG
     steps = B + H
     steps_p = -(-steps // SEG) * SEG
-    FIX_ROWS = min(4 * SEG, steps_p)
     # composition group split: G = NG groups x Rg lanes, both ~sqrt(G)
     NG = 1 << ((G // 128).bit_length() // 2 + 3)
     NG = min(NG, G)
@@ -610,7 +621,7 @@ def _plan(bits: int, H: int, md: int, lanes=None, avg_len=None):
         ORP = hard
     ORP = -(-ORP // 128) * 128
     return dict(G=G, B=B, steps=steps, steps_p=steps_p, SEG=SEG,
-                UNROLL=UNROLL, FIX_ROWS=FIX_ROWS, NG=NG, Rg=Rg, ORP=ORP)
+                UNROLL=UNROLL, NG=NG, Rg=Rg, ORP=ORP)
 
 
 def decode_widescan(hf, lanes=None, check_size=True, interpret=False):
@@ -644,13 +655,10 @@ def decode_widescan(hf, lanes=None, check_size=True, interpret=False):
     lim2 = jnp.asarray(
         np.clip(hf.bits - lane * p["B"], -(1 << 30), 1 << 30).astype(np.int32))
 
-    denseT, n, total, flag = wide_decode_program(
+    denseT, n, total = wide_decode_program(
         jnp.asarray(mat), tabw, lim2, B=p["B"], H=H, G=G, steps=p["steps"],
         steps_p=p["steps_p"], SEG=p["SEG"], UNROLL=p["UNROLL"], md=md,
-        Rg=p["Rg"], NG=p["NG"], FIX_ROWS=p["FIX_ROWS"], ORP=p["ORP"],
-        interpret=interpret)
-    if int(flag) != 0:
-        return _fallback()
+        Rg=p["Rg"], NG=p["NG"], ORP=p["ORP"], interpret=interpret)
     if check_size and int(total) != hf.uncompressed_size:
         raise RuntimeError(
             f"decoded {int(total)} symbols, header says "

@@ -79,13 +79,11 @@ def main():
     try:
         t0 = time.perf_counter()
         run = lambda: ws.wide_decode_program(
-            bits3, tabw, lim2, Rg=p["Rg"], NG=p["NG"],
-            FIX_ROWS=p["FIX_ROWS"], ORP=p["ORP"], **kw)
-        denseT, n, total, flag = run()
-        np.asarray(total), np.asarray(flag)
+            bits3, tabw, lim2, Rg=p["Rg"], NG=p["NG"], ORP=p["ORP"], **kw)
+        denseT, n, total = run()
+        np.asarray(total)
         print(f"program compile+run ok ({time.perf_counter()-t0:.1f}s) "
-              f"total={int(total)} want={hf.uncompressed_size} "
-              f"flag={int(flag)}", flush=True)
+              f"total={int(total)} want={hf.uncompressed_size}", flush=True)
         dense = np.asarray(denseT)
         counts = np.asarray(n)
         mask = np.arange(p["ORP"])[None, :] < counts[:, None]
