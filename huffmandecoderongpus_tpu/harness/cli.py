@@ -130,10 +130,22 @@ def run_suite(name: str, repeats: int = REPEATS) -> None:
         return
 
     if name == "opt":
-        # Baseline vs optimized device pipeline (mainrun.c:617-623).
+        # Baseline vs optimized device build (mainrun.c:617-623: fastgpu
+        # vs fastgpuOpt1).  Our pair: the faithful speculative pipeline
+        # (baseline) vs the lane-DFA Pallas decoders (optimized).
         td = load("kjv.txt")
-        for d in _device_decoders():
-            evalandshow(d, td, repeats=repeats)
+        registry = all_decoders()
+        base = evalandshow(registry["spec_xla"], td, repeats=repeats)
+        best = None
+        for n in ("lane_wide", "lane_dfa_pallas", "lane_dfa_sync"):
+            if n in registry:
+                r = evalandshow(registry[n], td, repeats=repeats)
+                if best is None or r.min_seconds < best.min_seconds:
+                    best = r
+        if best is not None:
+            print(f"opt: {best.decoder} is {base.min_seconds / best.min_seconds:.1f}x "
+                  f"the baseline spec_xla ({base.min_ms:.1f} ms -> "
+                  f"{best.min_ms:.1f} ms)")
         return
 
     if name == "bts":
