@@ -44,8 +44,8 @@ def _device_decoders() -> list:
     fastgpuOpt1 suite slots: the speculative pipeline plus the optimized
     lane-DFA builds."""
     registry = all_decoders()
-    names = [n for n in ("spec_xla", "lane_dfa_sync", "lane_dfa_pallas")
-             if n in registry]
+    names = [n for n in ("spec_xla", "lane_dfa_sync", "lane_dfa_pallas",
+                         "lane_wide") if n in registry]
     return [registry[n] for n in names]
 
 
@@ -282,9 +282,11 @@ def main(argv=None) -> None:
         from huffmandecoderongpus_tpu.harness.scaling import format_sweep, scaling_sweep
 
         name = ns.args[0] if ns.args else "paper1"
+        path = ns.args[1] if len(ns.args) > 1 else "lane"
         td = corpus.load_test_data(name)
-        print(f"scaling sweep on {name}:")
-        print(format_sweep(scaling_sweep(td.cd, td.ucd, repeats=ns.repeats)))
+        print(f"scaling sweep on {name} ({path} path):")
+        print(format_sweep(scaling_sweep(td.cd, td.ucd, repeats=ns.repeats,
+                                         path=path)))
         return
 
     if ns.test == "prof":

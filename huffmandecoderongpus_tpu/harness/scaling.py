@@ -26,12 +26,19 @@ class ScalePoint:
 
 
 def scaling_sweep(hf, ucd: np.ndarray | None = None, sizes=None,
-                  repeats: int = 5) -> list[ScalePoint]:
-    """Time decode_sharded across mesh sizes; verify each against ``ucd``."""
+                  repeats: int = 5, path: str = "lane") -> list[ScalePoint]:
+    """Time the sharded decode across mesh sizes; verify vs ``ucd``.
+
+    ``path="lane"`` (default) drives decode_lane_sharded — the multi-chip
+    performance path (round-1 swept the speculative block decoder, which
+    is gather-cliff-bound on TPU and said nothing about the perf path);
+    ``path="block"`` keeps the reference-shaped speculative pipeline."""
     import jax
 
-    from huffmandecoderongpus_tpu.parallel import decode_sharded, make_mesh
+    from huffmandecoderongpus_tpu.parallel import (
+        decode_lane_sharded, decode_sharded, make_mesh)
 
+    dec = decode_lane_sharded if path == "lane" else decode_sharded
     n_dev = len(jax.devices())
     if sizes is None:
         sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= n_dev]
@@ -39,13 +46,13 @@ def scaling_sweep(hf, ucd: np.ndarray | None = None, sizes=None,
     base = None
     for n in sizes:
         mesh = make_mesh(n)
-        out = decode_sharded(hf, mesh=mesh)  # compile + warm + verify size
+        out = dec(hf, mesh=mesh)  # compile + warm + verify size
         if ucd is not None and not np.array_equal(out, ucd):
             raise RuntimeError(f"sharded decode wrong at {n} devices")
         ts = []
         for _ in range(repeats):
             t0 = time.perf_counter()
-            decode_sharded(hf, mesh=mesh, check_size=False)
+            dec(hf, mesh=mesh, check_size=False)
             ts.append(time.perf_counter() - t0)
         sec = min(ts)
         if base is None:
