@@ -111,6 +111,14 @@ def speculative_decode_xla(
     step0 = jnp.where(b + ln <= bits, ln, -1)
 
     # Stage 2: pointer doubling, `levels` static iterations — no host sync.
+    #
+    # Memory discipline (role of fastgpuOpt1.cu:244-255, which shrinks the
+    # per-level buffers; our stage 4-5 is gather-only, so the bigger lever
+    # is dropping whole levels): only every 2nd level is *kept* — odd
+    # levels are recomputed at query time by composing two jumps of the
+    # level below (same validity rules as the doubling itself) — and kept
+    # levels whose spans provably fit are stored as int16.  kjv: 24 levels
+    # x 98 MB = 2.3 GB naive -> ~0.9 GB kept.
     def double(s):
         t = b + s
         tc = jnp.clip(t, 0, bits - 1)
@@ -118,9 +126,30 @@ def speculative_decode_xla(
         ok = (s != -1) & (t < bits) & (w != -1) & (t + w <= bits)
         return jnp.where(ok, s + w, -1)
 
-    steps = [step0]
-    for _ in range(max(levels - 1, 0)):
-        steps.append(double(steps[-1]))
+    def keep(s, k):
+        # level-k spans cover 2^k codewords of <= height bits each
+        if (1 << k) * height <= np.iinfo(np.int16).max:
+            return s.astype(jnp.int16)
+        return s
+
+    kept = {0: keep(step0, 0)}
+    s = step0
+    for k in range(1, max(levels, 1)):
+        s = double(s)
+        if k % 2 == 0:
+            kept[k] = keep(s, k)
+
+    def delta_at(k, pos):
+        """Level-k span at ``pos`` — stored, or composed from level k-1."""
+        if k in kept:
+            return jnp.take(kept[k], pos, mode="clip").astype(jnp.int32)
+        base = kept[k - 1]
+        d1 = jnp.take(base, pos, mode="clip").astype(jnp.int32)
+        t = pos + d1
+        d2 = jnp.take(base, jnp.clip(t, 0, bits - 1),
+                      mode="clip").astype(jnp.int32)
+        ok = (d1 != -1) & (t < bits) & (d2 != -1) & (t + d2 <= bits)
+        return jnp.where(ok, d1 + d2, -1)
 
     # Stages 4+5 fused, gather-only: output index i -> its codeword's bit
     # position via top-down binary decomposition over the doubling levels.
@@ -128,7 +157,7 @@ def speculative_decode_xla(
     pos = jnp.zeros(size, dtype=jnp.int32)
     bad = jnp.zeros((), dtype=jnp.bool_)
     for k in range(levels - 1, -1, -1):
-        delta = jnp.take(steps[k], pos, mode="clip")
+        delta = delta_at(k, pos)
         take = ((i >> k) & 1) == 1
         # a -1 span consumed by any chain means a corrupt stream; the
         # clamp below would silently freeze that position, so fold the
