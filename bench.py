@@ -70,6 +70,51 @@ def _spec_xla_candidate(td):
     return run, materialize
 
 
+def _wide_candidate(td):
+    """The wide-lane fused program (ops/pallas_widescan): dense bytes +
+    per-lane counts in HBM are the timed unit; the host only trims by the
+    counts (matches the reference timing through result readback,
+    openclapproach.c:990-1015, modulo this environment's relay)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from huffmandecoderongpus_tpu.ops import pallas_widescan as ws
+    from huffmandecoderongpus_tpu.ops.lanedfa import build_lane_dfa
+
+    hf = td.cd
+    dfa = build_lane_dfa(hf.tree)
+    if dfa.entry.shape[0] // 2 > ws.MAX_STATES:
+        raise RuntimeError("tree exceeds the paired-table state limit")
+    H = max(dfa.height, 1)
+    md = max(dfa.min_depth, 1)
+    avg = hf.bits / max(hf.uncompressed_size, 1)
+    p = ws._plan(hf.bits, H, md, avg_len=avg)
+    G = p["G"]
+    tabw = jnp.asarray(ws.pack_pair_table(dfa))
+    mat = ws.bits3_matrix(hf.payload, hf.bits, G, p["B"], p["steps_p"])
+    bits3 = jnp.asarray(mat)
+    lane = np.arange(G, dtype=np.int64).reshape(G // 128, 128)
+    lim2 = jnp.asarray(np.clip(hf.bits - lane * p["B"], -(1 << 30),
+                               1 << 30).astype(np.int32))
+
+    def run():
+        denseT, n, total, fence = ws.wide_decode_program(
+            bits3, tabw, lim2, B=p["B"], H=H, G=G, steps=p["steps"],
+            steps_p=p["steps_p"], SEG=p["SEG"], UNROLL=p["UNROLL"], md=md,
+            Rg=p["Rg"], NG=p["NG"], ORP=p["ORP"], RB=p["RB"])
+        return fence, (denseT, n)
+
+    def materialize(out):
+        denseT, n = out
+        dense = np.asarray(denseT)
+        counts = np.asarray(n)
+        mask = np.arange(p["ORP"])[None, :] < counts[:, None]
+        return dense[mask]
+
+    return run, materialize
+
+
 def _lane_candidate(td, pallas: bool):
     import jax
     import jax.numpy as jnp
@@ -142,6 +187,7 @@ def _lane_candidate(td, pallas: bool):
 
 
 CANDIDATES = [
+    ("lane_wide", lambda td: _wide_candidate(td)),
     ("lane_dfa_pallas", lambda td: _lane_candidate(td, pallas=True)),
     ("spec_xla", lambda td: _spec_xla_candidate(td)),
 ]

@@ -117,10 +117,13 @@ def bits3_matrix(payload: np.ndarray, bits: int, G: int, B: int, steps_p: int):
 def _k1_kernel(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
                cntmap_ref, exmap_ref, mrowmap_ref,
                node0, cnt0, done0, exit0, nodeC, cntC, recC, cumMC,
-               v_scr, cum_scr, *, B, H, G, steps, SEG, UNROLL, md, CH, HP):
-    R = G // 128
-    s = pl.program_id(0)
-    S = pl.num_programs(0)
+               v_scr, cum_scr, *, B, H, steps, SEG, UNROLL, md, CH, HP, RB):
+    # grid = (row-groups, segments), segments innermost: the kernel walks
+    # all segments of RB sublane rows of lanes before moving to the next
+    # row group, so the VMEM working set is bounded by RB (not G/128) and
+    # the per-row-group scratch resets at s == 0
+    R = RB
+    s = pl.program_id(1)
     tab_bc = jnp.broadcast_to(tab_ref[0:1, :], (R, 128))
 
     @pl.when(s == 0)
@@ -235,7 +238,7 @@ def _k1_kernel(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
         cumMC[...] = cum.reshape(CH, R, 128)
 
     # ---- epilogue: assemble per-lane candidate maps -----------------------
-    @pl.when(s == pl.num_programs(0) - 1)
+    @pl.when(s == pl.num_programs(1) - 1)
     def _epilogue():
         cntmap_ref[0] = cnt0[...]
         exmap_ref[0] = exit0[...]
@@ -258,39 +261,42 @@ def _k1_kernel(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "B", "H", "G", "steps", "steps_p", "SEG", "UNROLL", "md", "interpret"))
+    "B", "H", "G", "steps", "steps_p", "SEG", "UNROLL", "md", "RB",
+    "interpret"))
 def k1_scan(bits3, tabw, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL, md,
-            interpret=False):
+            RB=0, interpret=False):
     R = G // 128
+    RB = min(RB or R, R)
+    RG = R // RB
     S = steps_p // SEG
     CH = max(H - 1, 1)
     HP = -(-(CH + 1) // 8) * 8
     slots_seg = SEG // md
     slots_p = steps_p // md
     kern = functools.partial(
-        _k1_kernel, B=B, H=H, G=G, steps=steps, SEG=SEG, UNROLL=UNROLL,
-        md=md, CH=CH, HP=HP)
+        _k1_kernel, B=B, H=H, steps=steps, SEG=SEG, UNROLL=UNROLL,
+        md=md, CH=CH, HP=HP, RB=RB)
     return pl.pallas_call(
         kern,
-        grid=(S,),
+        grid=(RG, S),
         in_specs=[
-            pl.BlockSpec((1, 128), lambda s: (0, 0),
+            pl.BlockSpec((1, 128), lambda rg, s: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 128), lambda s: (0, 0),
+            pl.BlockSpec((RB, 128), lambda rg, s: (rg, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SEG, R, 128), lambda s: (s, 0, 0),
+            pl.BlockSpec((SEG, RB, 128), lambda rg, s: (s, rg, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((slots_seg, R, 128), lambda s: (s, 0, 0),
+            pl.BlockSpec((slots_seg, RB, 128), lambda rg, s: (s, rg, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((slots_seg, R, 128), lambda s: (s, 0, 0),
+            pl.BlockSpec((slots_seg, RB, 128), lambda rg, s: (s, rg, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((HP, R, 128), lambda s: (0, 0, 0),
+            pl.BlockSpec((HP, RB, 128), lambda rg, s: (0, rg, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((HP, R, 128), lambda s: (0, 0, 0),
+            pl.BlockSpec((HP, RB, 128), lambda rg, s: (0, rg, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((HP, R, 128), lambda s: (0, 0, 0),
+            pl.BlockSpec((HP, RB, 128), lambda rg, s: (0, rg, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -301,16 +307,16 @@ def k1_scan(bits3, tabw, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL, md,
             jax.ShapeDtypeStruct((HP, R, 128), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((R, 128), jnp.int32),          # node0
-            pltpu.VMEM((R, 128), jnp.int32),          # cnt0
-            pltpu.VMEM((R, 128), jnp.int32),          # done0
-            pltpu.VMEM((R, 128), jnp.int32),          # exit0
-            pltpu.VMEM((CH, R, 128), jnp.int32),      # nodeC
-            pltpu.VMEM((CH, R, 128), jnp.int32),      # cntC
-            pltpu.VMEM((CH, R, 128), jnp.int32),      # recC
-            pltpu.VMEM((CH, R, 128), jnp.int32),      # cumMC
-            pltpu.VMEM((SEG, R, 128), jnp.int32),     # v_scr
-            pltpu.VMEM((SEG, R, 128), jnp.int32),     # cum_scr
+            pltpu.VMEM((RB, 128), jnp.int32),          # node0
+            pltpu.VMEM((RB, 128), jnp.int32),          # cnt0
+            pltpu.VMEM((RB, 128), jnp.int32),          # done0
+            pltpu.VMEM((RB, 128), jnp.int32),          # exit0
+            pltpu.VMEM((CH, RB, 128), jnp.int32),      # nodeC
+            pltpu.VMEM((CH, RB, 128), jnp.int32),      # cntC
+            pltpu.VMEM((CH, RB, 128), jnp.int32),      # recC
+            pltpu.VMEM((CH, RB, 128), jnp.int32),      # cumMC
+            pltpu.VMEM((SEG, RB, 128), jnp.int32),     # v_scr
+            pltpu.VMEM((SEG, RB, 128), jnp.int32),     # cum_scr
         ],
         interpret=interpret,
     )(tabw, lim2, bits3)
@@ -534,16 +540,16 @@ def _select_h(maps, idx, H):
 
 @functools.partial(jax.jit, static_argnames=(
     "B", "H", "G", "steps", "steps_p", "SEG", "UNROLL", "md", "Rg", "NG",
-    "ORP", "interpret"))
+    "ORP", "RB", "interpret"))
 def wide_decode_program(bits3, tabw, lim2, *, B, H, G, steps, steps_p, SEG,
-                        UNROLL, md, Rg, NG, ORP, interpret=False):
+                        UNROLL, md, Rg, NG, ORP, RB=0, interpret=False):
     """Full fused decode.  Returns (denseT (G, ORP) u8, n (G,) i32,
-    total i32)."""
+    total i32, fence i32)."""
     R = G // 128
     slots_p = steps_p // md
     sym, val, cntmap, exmap, mrowmap = k1_scan(
         bits3, tabw, lim2, B=B, H=H, G=G, steps=steps, steps_p=steps_p,
-        SEG=SEG, UNROLL=UNROLL, md=md, interpret=interpret)
+        SEG=SEG, UNROLL=UNROLL, md=md, RB=RB, interpret=interpret)
 
     HP = cntmap.shape[0]
     # maps -> (Rg, NG, 128) with lane l = g*Rg + r, entries on lanes
@@ -586,7 +592,11 @@ def wide_decode_program(bits3, tabw, lim2, *, B, H, G, steps, steps_p, SEG,
         valT = jnp.pad(valT, ((0, 0), (0, slots_pp - slots_p)))
     denseT = k4_compact(symT, valT, G=G, slots_p=slots_pp, ORP=ORP,
                         interpret=interpret)
-    return denseT, n, total
+    # fence: a 1-element value data-dependent on the LAST kernel's output,
+    # so a tiny readback provably brackets the whole program (this
+    # environment's relay can return from block_until_ready early)
+    fence = total + denseT[0, 0].astype(jnp.int32)
+    return denseT, n, total, fence
 
 
 # ---------------------------------------------------------------------------
@@ -620,8 +630,12 @@ def _plan(bits: int, H: int, md: int, lanes=None, avg_len=None):
     else:
         ORP = hard
     ORP = -(-ORP // 128) * 128
+    # K1 row-group blocking: cap the VMEM-resident lane-state slice at 32
+    # sublane rows (~4 MB scoped VMEM incl. candidate scratch); G beyond
+    # 4096 lanes walks multiple row groups in the outer grid dimension
+    RB = min(G // 128, 32)
     return dict(G=G, B=B, steps=steps, steps_p=steps_p, SEG=SEG,
-                UNROLL=UNROLL, NG=NG, Rg=Rg, ORP=ORP)
+                UNROLL=UNROLL, NG=NG, Rg=Rg, ORP=ORP, RB=RB)
 
 
 def decode_widescan(hf, lanes=None, check_size=True, interpret=False):
@@ -655,10 +669,11 @@ def decode_widescan(hf, lanes=None, check_size=True, interpret=False):
     lim2 = jnp.asarray(
         np.clip(hf.bits - lane * p["B"], -(1 << 30), 1 << 30).astype(np.int32))
 
-    denseT, n, total = wide_decode_program(
+    denseT, n, total, _fence = wide_decode_program(
         jnp.asarray(mat), tabw, lim2, B=p["B"], H=H, G=G, steps=p["steps"],
         steps_p=p["steps_p"], SEG=p["SEG"], UNROLL=p["UNROLL"], md=md,
-        Rg=p["Rg"], NG=p["NG"], ORP=p["ORP"], interpret=interpret)
+        Rg=p["Rg"], NG=p["NG"], ORP=p["ORP"], RB=p["RB"],
+        interpret=interpret)
     if check_size and int(total) != hf.uncompressed_size:
         raise RuntimeError(
             f"decoded {int(total)} symbols, header says "

@@ -60,7 +60,7 @@ def main():
     fl = floor_s()
     print(f"floor {fl*1e3:.1f} ms", flush=True)
     kw = dict(B=p["B"], H=H, G=G, steps=p["steps"], steps_p=p["steps_p"],
-              SEG=p["SEG"], UNROLL=p["UNROLL"], md=md)
+              SEG=p["SEG"], UNROLL=p["UNROLL"], md=md, RB=p["RB"])
 
     # --- stage 1: K1 alone --------------------------------------------------
     try:
@@ -80,8 +80,8 @@ def main():
         t0 = time.perf_counter()
         run = lambda: ws.wide_decode_program(
             bits3, tabw, lim2, Rg=p["Rg"], NG=p["NG"], ORP=p["ORP"], **kw)
-        denseT, n, total = run()
-        np.asarray(total)
+        denseT, n, total, fence = run()
+        np.asarray(fence)
         print(f"program compile+run ok ({time.perf_counter()-t0:.1f}s) "
               f"total={int(total)} want={hf.uncompressed_size}", flush=True)
         dense = np.asarray(denseT)
@@ -94,7 +94,7 @@ def main():
         if not ok and out.size == td.ucd.size:
             d = np.nonzero(out != td.ucd)[0][:10]
             print(f"first diffs at {d}", flush=True)
-        t, _ = timeit(run, lambda o: o[0], fl)
+        t, _ = timeit(run, lambda o: o[3], fl)
         gbps = hf.uncompressed_size / t / 1e9
         print(f"program: {t*1e3:.3f} ms  -> {gbps:.3f} GB/s", flush=True)
     except Exception as e:

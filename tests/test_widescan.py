@@ -103,3 +103,36 @@ def test_widescan_bad_header_raises(rng):
     bad = dataclasses.replace(hf, uncompressed_size=hf.uncompressed_size + 1)
     with pytest.raises(RuntimeError):
         decode_widescan(bad, lanes=1024, interpret=True)
+
+
+def test_widescan_multi_rowgroup(rng):
+    # RB < R exercises the 2D K1 grid (row-group outer dimension): the
+    # per-row-group scratch must reset at each group's first segment
+    import jax.numpy as jnp
+
+    from huffmandecoderongpus_tpu.ops import pallas_widescan as ws
+
+    probs = np.array([0.35, 0.2, 0.12, 0.1, 0.08, 0.06, 0.05, 0.04])
+    raw = rng.choice(np.arange(8, dtype=np.uint8), size=20000,
+                     p=probs / probs.sum()).astype(np.uint8)
+    hf = encode_bytes(raw)
+    dfa = build_lane_dfa(hf.tree)
+    H = max(dfa.height, 1)
+    md = max(dfa.min_depth, 1)
+    avg = hf.bits / hf.uncompressed_size
+    p = ws._plan(hf.bits, H, md, lanes=1024, avg_len=avg)
+    G = p["G"]
+    tabw = jnp.asarray(ws.pack_pair_table(dfa))
+    mat = ws.bits3_matrix(hf.payload, hf.bits, G, p["B"], p["steps_p"])
+    lane = np.arange(G, dtype=np.int64).reshape(G // 128, 128)
+    lim2 = jnp.asarray(np.clip(hf.bits - lane * p["B"], -(1 << 30),
+                               1 << 30).astype(np.int32))
+    denseT, n, total, _ = ws.wide_decode_program(
+        jnp.asarray(mat), tabw, lim2, B=p["B"], H=H, G=G, steps=p["steps"],
+        steps_p=p["steps_p"], SEG=p["SEG"], UNROLL=p["UNROLL"], md=md,
+        Rg=p["Rg"], NG=p["NG"], ORP=p["ORP"], RB=2, interpret=True)
+    assert int(total) == hf.uncompressed_size
+    counts = np.asarray(n)
+    mask = np.arange(p["ORP"])[None, :] < counts[:, None]
+    out = np.asarray(denseT)[mask]
+    np.testing.assert_array_equal(out, raw)
