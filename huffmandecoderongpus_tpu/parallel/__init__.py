@@ -14,4 +14,7 @@ from huffmandecoderongpus_tpu.parallel.block_decode import (  # noqa: F401
     decode_sharded,
     decode_sharded_arrays,
 )
-from huffmandecoderongpus_tpu.parallel.lane_sharded import decode_lane_sharded  # noqa: F401
+from huffmandecoderongpus_tpu.parallel.lane_sharded import (  # noqa: F401
+    decode_lane_sharded,
+    lane_sharded_runner,
+)

@@ -187,11 +187,16 @@ def _compiled(mesh: Mesh, axis: str, B: int, H: int, N: int, Gl: int, D: int,
     return jax.jit(mapped)
 
 
-def decode_lane_sharded(hf, mesh: Mesh | None = None,
+def lane_sharded_runner(hf, mesh: Mesh | None = None,
                         lanes: int | None = None,
-                        check_size: bool = True,
-                        use_pallas: bool | None = None) -> np.ndarray:
-    """Lane-DFA decode with lanes sharded over a device mesh.
+                        use_pallas: bool | None = None):
+    """Stage inputs once and return ``(run, materialize)``.
+
+    ``run()`` executes only the compiled sharded program (per-shard scans
+    + the stitching collective) and returns its outputs; ``materialize``
+    compacts them to the dense byte stream on the host.  This is the
+    benchmarking surface — scaling sweeps time ``run`` so host-side prep
+    (bit-matrix build, compaction) doesn't mask the device scaling.
 
     ``use_pallas``: run the per-shard scans as Mosaic kernels (default:
     on TPU meshes, when the per-shard lane count allows full tiles;
@@ -219,12 +224,31 @@ def decode_lane_sharded(hf, mesh: Mesh | None = None,
     fn = _compiled(mesh, BLOCK_AXIS, B, H, int(hf.bits), G // D, D,
                    pallas, interpret)
     tab = _pad_table(dfa.entry) if pallas else dfa.entry
-    sym, valid, n_lane, total = fn(jnp.asarray(mat), jnp.asarray(tab))
-    total = int(np.asarray(total)[0])
+    mat_j = jnp.asarray(mat)
+    tab_j = jnp.asarray(tab)
+
+    def run():
+        return fn(mat_j, tab_j)
+
+    def materialize(out):
+        sym, valid, n_lane, total = out
+        return np.asarray(sym).T[np.asarray(valid).T], int(np.asarray(total)[0])
+
+    return run, materialize
+
+
+def decode_lane_sharded(hf, mesh: Mesh | None = None,
+                        lanes: int | None = None,
+                        check_size: bool = True,
+                        use_pallas: bool | None = None) -> np.ndarray:
+    """Lane-DFA decode with lanes sharded over a device mesh (see
+    ``lane_sharded_runner`` for the staged benchmarking surface)."""
+    run, materialize = lane_sharded_runner(hf, mesh=mesh, lanes=lanes,
+                                           use_pallas=use_pallas)
+    out, total = materialize(run())
     if check_size and total != hf.uncompressed_size:
         raise RuntimeError(
             f"decoded {total} symbols, header says {hf.uncompressed_size}")
-    out = np.asarray(sym).T[np.asarray(valid).T]
     if check_size and out.size != hf.uncompressed_size:
         raise RuntimeError(
             f"emitted {out.size} symbols, header says {hf.uncompressed_size}")

@@ -1,0 +1,57 @@
+"""Gated real-hardware smoke for the Pallas kernels (one corpus, one tile
+budget).
+
+The per-commit suite runs every kernel in interpret mode on CPU
+(conftest.py forces ``jax_platforms=cpu``); Mosaic *lowering* regressions
+therefore only surface on real hardware.  This test closes that gap: with
+``RUN_HW=1`` it spawns a fresh Python (so the environment's device plugin,
+not the conftest override, picks the backend) and decodes paper1 through
+the two Pallas decoders, bit-exact, failing if either kernel stops
+compiling or mis-executes on the chip.
+
+Kept tiny (paper1, default plans) so a relay round-trip budget of minutes
+suffices; the full-corpus sweep stays in scripts/hw_widescan.py / bench.py.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("RUN_HW"),
+    reason="real-TPU smoke; set RUN_HW=1 (needs the device relay)")
+
+_PROG = r"""
+import numpy as np
+import jax
+assert jax.devices()[0].platform == "tpu", jax.devices()
+from huffmandecoderongpus_tpu import data
+from huffmandecoderongpus_tpu.ops.pallas_widescan import decode_widescan
+from huffmandecoderongpus_tpu.ops.pallas_lanedfa import decode_lanedfa_pallas
+
+td = data.load_test_data("paper1")
+out = decode_widescan(td.cd)
+assert np.array_equal(out, td.ucd), "widescan mismatch on hardware"
+print("widescan OK", flush=True)
+out = decode_lanedfa_pallas(td.cd)
+assert np.array_equal(out, td.ucd), "lanedfa_pallas mismatch on hardware"
+print("lanedfa_pallas OK", flush=True)
+"""
+
+
+def test_pallas_kernels_on_hardware():
+    # fresh env minus any CPU overrides the test harness may have set, so
+    # the environment's own device plugin selects the real backend
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    proc = subprocess.run(
+        [sys.executable, "-c", _PROG], env=env, capture_output=True,
+        text=True, timeout=int(os.environ.get("RUN_HW_TIMEOUT_S", "600")),
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 0, (
+        f"hardware smoke failed\nstdout:\n{proc.stdout}\n"
+        f"stderr:\n{proc.stderr[-3000:]}")
+    assert "widescan OK" in proc.stdout
+    assert "lanedfa_pallas OK" in proc.stdout
