@@ -612,7 +612,17 @@ def _plan(bits: int, H: int, md: int, lanes=None, avg_len=None):
     UNROLL = md * max(1, round(8 / md))
     SEG = UNROLL * max(1, 32 // UNROLL)
     if lanes is None:
-        G = 1 << max((-(-bits // 2048) - 1).bit_length(), 0)
+        # HW sweep (v5e, 2026-08-17): throughput peaks at ~500 decoded
+        # symbols per lane across all corpora — shorter lanes inflate the
+        # candidate tail cost (CH chains x G lanes x self-sync delay),
+        # longer lanes inflate the per-lane output/compaction windows.
+        # Round size/500 to the nearest power of two in log space.
+        size = bits / avg_len if avg_len else bits / 4.0
+        xi = max(int(size / 500), 1)
+        p2 = xi.bit_length() - 1
+        if xi * xi > 2 << (2 * p2):  # xi > sqrt(2)*2^p2 -> round up
+            p2 += 1
+        G = 1 << p2
         G = max(1024, min(G, 1 << 14))
     else:
         # floor 512: Mosaic's lane-axis dynamic_gather mis-lowers at one
