@@ -139,8 +139,18 @@ def _k1_kernel(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
         recC[...] = zc
         cumMC[...] = zc
 
+    # candidate liveness for THIS segment, computed up front: recC holds
+    # resolution through segment s-1, so the main pass can skip the
+    # v_scr/cum_scr stores (only the candidate pass reads them) in the
+    # post-tail segments where every chain is already resolved
+    live_any = jnp.int32(0)
+    lim_ok = (lim_ref[...] > s * SEG).astype(jnp.int32)
+    for c in range(CH):
+        live_any = jnp.maximum(
+            live_any, jnp.max((1 - (recC[c] & 1)) * lim_ok))
+
     # ---- main 0-chain pass over this segment ------------------------------
-    def main_block(track_exit):
+    def main_block(track_exit, store_scr):
         def body(i, carry):
             node, cnt, done, ex0 = carry
             for grp in range(UNROLL // md):
@@ -161,8 +171,9 @@ def _k1_kernel(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
                         ex0 = jnp.where(exiting > 0, j + 1 - B, ex0)
                         done = done | exiting
                     cnt = cnt + emit1
-                    v_scr[lj] = emit1
-                    cum_scr[lj] = cnt
+                    if store_scr:
+                        v_scr[lj] = emit1
+                        cum_scr[lj] = cnt
                     sacc = sacc | (e >> 8).astype(jnp.uint8)
                     vacc = vacc | emit1
                 sl = (i * UNROLL + grp * md) // md
@@ -176,47 +187,50 @@ def _k1_kernel(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
         node0[...], cnt0[...], done0[...], exit0[...] = out
 
     # exit boundary row B-1 can only lie in the trailing segments
-    @pl.when((s + 1) * SEG > B - 1)
-    def _full():
-        main_block(True)
+    tail = (s + 1) * SEG > B - 1
+    live = live_any > 0
 
-    @pl.when((s + 1) * SEG <= B - 1)
-    def _light():
-        main_block(False)
+    @pl.when(tail & live)
+    def _full_s():
+        main_block(True, True)
 
-    # ---- candidate pass (skipped once every chain is resolved) ------------
-    live_any = jnp.int32(0)
-    lim_ok = (lim_ref[...] > s * SEG).astype(jnp.int32)
-    for c in range(CH):
-        live_any = jnp.maximum(
-            live_any, jnp.max((1 - (recC[c] & 1)) * lim_ok))
+    @pl.when(tail & ~live)
+    def _full_n():
+        main_block(True, False)
+
+    @pl.when(~tail & live)
+    def _light_s():
+        main_block(False, True)
+
+    @pl.when(~tail & ~live)
+    def _light_n():
+        main_block(False, False)
 
     @pl.when(live_any > 0)
     def _cands():
-        # all CH chains batched as (CH*R, 128): one gather per step for
-        # every chain; chain c's start row (c+1) gates via a row iota
+        # all CH chains batched: the gather runs 2D as (CH*R, 128) (the
+        # Mosaic dynamic_gather shape), every other op runs 3D
+        # (CH, R, 128) with the per-bit operands kept (1, R, 128) so the
+        # compiler broadcasts vregs instead of materializing CH copies;
+        # chain c's start row (c+1) gates via a row iota
         tab_bc2 = jnp.broadcast_to(tab_ref[0:1, :], (CH * R, 128))
-        chain_of = jax.lax.broadcasted_iota(
-            jnp.int32, (CH, R, 128), 0).reshape(CH * R, 128)
+        chain_of = jax.lax.broadcasted_iota(jnp.int32, (CH, R, 128), 0)
 
         def body(i, carry):
             node, cnt, rec, cum = carry
             lj = i
             j = s * SEG + lj
             b = bits_ref[lj].astype(jnp.int32)
-            sh3 = jnp.broadcast_to(((b & 1) << 4)[None], (CH, R, 128))
-            sh = sh3.reshape(CH * R, 128)
-            pm = jnp.broadcast_to(
-                (b >= PAD_BIT)[None], (CH, R, 128)).reshape(CH * R, 128)
-            v0 = jnp.broadcast_to(
-                v_scr[lj][None], (CH, R, 128)).reshape(CH * R, 128)
-            cum0 = jnp.broadcast_to(
-                cum_scr[lj][None], (CH, R, 128)).reshape(CH * R, 128)
+            sh = ((b & 1) << 4)[None]
+            pm = (b >= PAD_BIT)[None]
+            v0 = v_scr[lj][None]
+            cum0 = cum_scr[lj][None]
             late = jnp.where(j + 1 >= B, 1, 0)
-            rec_val = ((j << 2) | 1) + (v0 << 1)
-            live = (1 - (rec & 1)) * jnp.where(
-                j >= chain_of + 1, 1, 0)
-            w = jnp.take_along_axis(tab_bc2, node, axis=1)
+            rec_val = (v0 << 1) + ((j << 2) | 1)
+            live = (1 - (rec & 1)) * jnp.where(j >= chain_of + 1, 1, 0)
+            w = jnp.take_along_axis(
+                tab_bc2, node.reshape(CH * R, 128), axis=1
+            ).reshape(CH, R, 128)
             e = (w >> sh) & 0xFFFF
             e = jnp.where(pm, 0, e)
             node = jnp.where(live > 0, e & 127, node)
@@ -224,18 +238,16 @@ def _k1_kernel(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
             cnt = cnt + em
             resolve = (em * (v0 | late)) > 0
             rec = jnp.where(resolve, rec_val, rec)
-            cum = jnp.where(resolve, cum0, cum)
+            cum = jnp.where(resolve, jnp.broadcast_to(cum0, cum.shape), cum)
             return node, cnt, rec, cum
 
-        init = (nodeC[...].reshape(CH * R, 128),
-                cntC[...].reshape(CH * R, 128),
-                recC[...].reshape(CH * R, 128),
-                cumMC[...].reshape(CH * R, 128))
-        node, cnt, rec, cum = jax.lax.fori_loop(0, SEG, body, init)
-        nodeC[...] = node.reshape(CH, R, 128)
-        cntC[...] = cnt.reshape(CH, R, 128)
-        recC[...] = rec.reshape(CH, R, 128)
-        cumMC[...] = cum.reshape(CH, R, 128)
+        init = (nodeC[...], cntC[...], recC[...], cumMC[...])
+        node, cnt, rec, cum = jax.lax.fori_loop(0, SEG, body, init,
+                                                unroll=SEG)
+        nodeC[...] = node
+        cntC[...] = cnt
+        recC[...] = rec
+        cumMC[...] = cum
 
     # ---- epilogue: assemble per-lane candidate maps -----------------------
     @pl.when(s == pl.num_programs(1) - 1)
@@ -639,7 +651,11 @@ def _plan(bits: int, H: int, md: int, lanes=None, avg_len=None):
     Rg = G // NG
     hard = min(B // md + 2, steps_p // md)
     if avg_len is not None and avg_len > 0:
-        ORP = min(int(B / avg_len * 1.6) + 2, hard)
+        # 1.25x headroom over the mean lane count: per-lane counts
+        # concentrate tightly around B/avg, K4 out-window work scales
+        # with ORP, and the wrapper falls back to the exact round-1 path
+        # if any lane overflows (decode_widescan counts check)
+        ORP = min(int(B / avg_len * 1.25) + 66, hard)
     else:
         ORP = hard
     ORP = -(-ORP // 128) * 128
