@@ -39,14 +39,18 @@ kernels inside one XLA program:
       log-depth prefix-doubling over groups with sublane rolls) - all
       128-wide lane gathers, ~30us, replacing the sequential host loop of
       the reference (pes.c:151-185).
-  K3  fix scan: lanes whose true entry is nonzero re-decode rows up to
-      their merge row (bounded by FIX_SLOTS*md; the rare deeper case sets
-      a flag and the wrapper falls back to the exact round-1 path).
+  K3  fix + splice scan: lanes whose true entry is nonzero re-decode
+      rows up to their merge row (adaptively gated per segment — the
+      window cannot be statically bounded) and the fixed rows are
+      spliced into the main scan's sym/val slot arrays *in place*
+      (aliased outputs), so no XLA pass touches the full-size emissions.
   K4  compaction: per-lane slot emissions -> per-lane *dense* symbol
-      prefixes + counts, via per-128-slot-window binary-search gathers
-      (Mosaic's dynamic_gather is lane-axis, width-128 only) and a
-      window-select merge.  The benchmarked decode therefore ends with
-      dense bytes + counts in HBM; the host only trims/concatenates.
+      prefixes + counts; the lane transpose runs in-kernel (Mosaic
+      lowers 2D transposes natively), then per-128-slot-window
+      binary-search gathers (Mosaic's dynamic_gather is lane-axis,
+      width-128 only) and a window-select merge by global rank.  The
+      benchmarked decode therefore ends with dense bytes + counts in
+      HBM; the host only trims/concatenates.
 
 Reference semantics covered: decode-from-every-bit + combine
 (/root/reference/framework/pes.c:30-104) with the per-level host readback
@@ -385,15 +389,23 @@ def k2_compose(ex3, *, Rg, NG, interpret=False):
 # K3: fix scan (re-decode pre-merge rows of lanes with nonzero entry)
 
 
-def _k3_kernel(tab_ref, ent_ref, cut_ref, bits_ref, sym_ref, val_ref, nodeF,
+def _k3_kernel(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
+               symin_ref, valin_ref, sym_ref, val_ref, nodeF,
                *, G, SEG, UNROLL, md):
-    """Adaptive fix scan: full-length grid, but a segment runs only while
-    some lane's splice window (cut) extends into it — merge rows are
-    usually small, yet phase-locked runs of one short code can defer
-    self-sync for hundreds of bits (measured p99.9 ~ 756 rows on news),
-    so the window cannot be statically bounded."""
+    """Adaptive fix + splice scan: full-length grid, but a segment only
+    *re-decodes* while some lane's splice window (cut) extends into it —
+    merge rows are usually small, yet phase-locked runs of one short code
+    can defer self-sync for hundreds of bits (measured p99.9 ~ 756 rows
+    on news), so the window cannot be statically bounded.
+
+    The main scan's sym/val slot rows arrive as aliased inputs; gated
+    segments write the *merged* rows (fix below each lane's cut slot,
+    original at/above it) and every other segment copies its block
+    through, so the outputs are the final spliced slot arrays and no XLA
+    pass ever touches the full-size emissions again."""
     R = G // 128
     s = pl.program_id(0)
+    slots_seg = SEG // md
     tab_bc = jnp.broadcast_to(tab_ref[0:1, :], (R, 128))
 
     @pl.when(s == 0)
@@ -401,9 +413,12 @@ def _k3_kernel(tab_ref, ent_ref, cut_ref, bits_ref, sym_ref, val_ref, nodeF,
         nodeF[...] = jnp.zeros((R, 128), jnp.int32)
 
     ent = ent_ref[...]
+    gated = jnp.max(cut_ref[...]) > s * SEG
 
-    @pl.when(jnp.max(cut_ref[...]) > s * SEG)
+    @pl.when(gated)
     def _run():
+        cutsl = cutsl_ref[...]
+
         def body(i, node):
             for grp in range(UNROLL // md):
                 sacc = jnp.zeros((R, 128), jnp.uint8)
@@ -422,21 +437,31 @@ def _k3_kernel(tab_ref, ent_ref, cut_ref, bits_ref, sym_ref, val_ref, nodeF,
                         alive, e >> 8, 0).astype(jnp.uint8)
                     vacc = vacc | emit1
                 sl = (i * UNROLL + grp * md) // md
-                sym_ref[sl] = sacc
-                val_ref[sl] = vacc.astype(jnp.uint8)
+                fix = (s * SEG) // md + sl < cutsl
+                sym_ref[sl] = jnp.where(fix, sacc, symin_ref[sl])
+                val_ref[sl] = jnp.where(fix, vacc.astype(jnp.uint8),
+                                        valin_ref[sl])
             return node
 
         nodeF[...] = jax.lax.fori_loop(0, SEG // UNROLL, body, nodeF[...])
 
+    @pl.when(~gated)
+    def _copy():
+        for sl in range(slots_seg):
+            sym_ref[sl] = symin_ref[sl]
+            val_ref[sl] = valin_ref[sl]
+
 
 @functools.partial(jax.jit, static_argnames=(
     "G", "steps_p", "SEG", "UNROLL", "md", "interpret"))
-def k3_fix(bits3, tabw, ent2, cut2, *, G, steps_p, SEG, UNROLL, md,
-           interpret=False):
+def k3_fix(bits3, tabw, ent2, cut2, cutsl2, sym, val, *, G, steps_p, SEG,
+           UNROLL, md, interpret=False):
     R = G // 128
     S = steps_p // SEG
     slots_seg = SEG // md
     kern = functools.partial(_k3_kernel, G=G, SEG=SEG, UNROLL=UNROLL, md=md)
+    slot_spec = pl.BlockSpec((slots_seg, R, 128), lambda s: (s, 0, 0),
+                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
         grid=(S,),
@@ -447,95 +472,117 @@ def k3_fix(bits3, tabw, ent2, cut2, *, G, steps_p, SEG, UNROLL, md,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R, 128), lambda s: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda s: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((SEG, R, 128), lambda s: (s, 0, 0),
                          memory_space=pltpu.VMEM),
+            slot_spec,
+            slot_spec,
         ],
-        out_specs=[
-            pl.BlockSpec((slots_seg, R, 128), lambda s: (s, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((slots_seg, R, 128), lambda s: (s, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[slot_spec, slot_spec],
         out_shape=[
             jax.ShapeDtypeStruct((steps_p // md, R, 128), jnp.uint8),
             jax.ShapeDtypeStruct((steps_p // md, R, 128), jnp.uint8),
         ],
         scratch_shapes=[pltpu.VMEM((R, 128), jnp.int32)],
+        input_output_aliases={5: 0, 6: 1},
         interpret=interpret,
-    )(tabw, ent2, cut2, bits3)
+    )(tabw, ent2, cut2, cutsl2, bits3, sym, val)
 
 
 # ---------------------------------------------------------------------------
 # K4: per-lane compaction to dense prefixes
 
 
-def _k4_kernel(sym_ref, val_ref, out_ref, *, slots_p, ORP):
-    """sym/val (128, slots_p) lane-major; out (128, ORP) dense-per-row.
-    Window-local binary-search gathers (width-128 lane axis), then a
-    window-select merge by global rank."""
-    W = slots_p // 128
+def _k4_kernel(sym_ref, val_ref, out_ref, *, slots_p, slots_pp, ORP, RT):
+    """Transpose + per-lane compaction, RT 128-lane tiles per kernel
+    instance (the Pallas TPU tiling rule wants the sublane block dim
+    divisible by 8, so blocks carry 8 of the (slots_p, R, 128) layout's
+    middle rows at once).
+
+    sym/val arrive spliced (K3) in the scan's (slot-row, lane) layout and
+    are transposed in-kernel (Mosaic lowers 2D transposes natively —
+    HW-probed) so lanes sit on sublanes for the window-local
+    binary-search gathers (width-128 lane axis), then a window-select
+    merge by global rank writes the dense per-lane rows."""
+    W = slots_pp // 128
     iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
     want = iota + 1
-    denses = []
-    wcs = []
-    for w in range(W):
-        v = val_ref[:, w * 128:(w + 1) * 128].astype(jnp.int32)
-        cum = v
-        sh = 1
-        while sh < 128:
-            cum = cum + jnp.where(iota >= sh, pltpu.roll(cum, sh, axis=1), 0)
-            sh <<= 1
-        pos = jnp.zeros((128, 128), jnp.int32)
-        t = 64
-        while t:
-            npos = pos + t
-            c = jnp.take_along_axis(cum, npos - 1, axis=1)
-            pos = jnp.where(c < want, npos, pos)
-            t >>= 1
-        symw = sym_ref[:, w * 128:(w + 1) * 128].astype(jnp.int32)
-        denses.append(jnp.take_along_axis(symw, jnp.minimum(pos, 127), axis=1))
-        wcs.append(cum[:, 127:128])
+    for r in range(RT):
+        symT = sym_ref[:, r, :].T
+        valT = val_ref[:, r, :].T
+        if slots_pp != slots_p:
+            z = jnp.zeros((128, slots_pp - slots_p), jnp.uint8)
+            symT = jnp.concatenate([symT, z], axis=1)
+            valT = jnp.concatenate([valT, z], axis=1)
 
-    wpre = [jnp.zeros((128, 1), jnp.int32)]
-    for w in range(W):
-        wpre.append(wpre[-1] + wcs[w])
+        denses = []
+        wcs = []
+        for w in range(W):
+            v = valT[:, w * 128:(w + 1) * 128].astype(jnp.int32)
+            cum = v
+            sh = 1
+            while sh < 128:
+                cum = cum + jnp.where(iota >= sh,
+                                      pltpu.roll(cum, sh, axis=1), 0)
+                sh <<= 1
+            pos = jnp.zeros((128, 128), jnp.int32)
+            t = 64
+            while t:
+                npos = pos + t
+                c = jnp.take_along_axis(cum, npos - 1, axis=1)
+                pos = jnp.where(c < want, npos, pos)
+                t >>= 1
+            symw = symT[:, w * 128:(w + 1) * 128].astype(jnp.int32)
+            denses.append(
+                jnp.take_along_axis(symw, jnp.minimum(pos, 127), axis=1))
+            wcs.append(cum[:, 127:128])
 
-    for oc in range(ORP // 128):
-        # rank i in [128*oc, 128*oc+128) can only come from windows
-        # w >= oc: window w holds ranks < 128*(w+1) (<= 128 valids/window)
-        i_vec = iota + oc * 128
-        q = jnp.full((128, 128), oc, jnp.int32)
-        wsel = jnp.broadcast_to(wpre[oc], (128, 128))
-        for w in range(oc + 1, W):
-            ge = i_vec >= jnp.broadcast_to(wpre[w], (128, 128))
-            q = q + ge.astype(jnp.int32)
-            wsel = jnp.where(ge, jnp.broadcast_to(wpre[w], (128, 128)), wsel)
-        p = jnp.clip(i_vec - wsel, 0, 127)
-        out = jnp.zeros((128, 128), jnp.int32)
-        for w in range(oc, W):
-            cand = jnp.take_along_axis(denses[w], p, axis=1)
-            out = jnp.where(q == w, cand, out)
-        out_ref[:, oc * 128:(oc + 1) * 128] = out.astype(jnp.uint8)
+        wpre = [jnp.zeros((128, 1), jnp.int32)]
+        for w in range(W):
+            wpre.append(wpre[-1] + wcs[w])
+
+        for oc in range(ORP // 128):
+            # rank i in [128*oc, 128*oc+128) can only come from windows
+            # w >= oc: window w holds ranks < 128*(w+1) (<=128 valids/win)
+            i_vec = iota + oc * 128
+            q = jnp.full((128, 128), oc, jnp.int32)
+            wsel = jnp.broadcast_to(wpre[oc], (128, 128))
+            for w in range(oc + 1, W):
+                ge = i_vec >= jnp.broadcast_to(wpre[w], (128, 128))
+                q = q + ge.astype(jnp.int32)
+                wsel = jnp.where(ge, jnp.broadcast_to(wpre[w], (128, 128)),
+                                 wsel)
+            p = jnp.clip(i_vec - wsel, 0, 127)
+            out = jnp.zeros((128, 128), jnp.int32)
+            for w in range(oc, W):
+                cand = jnp.take_along_axis(denses[w], p, axis=1)
+                out = jnp.where(q == w, cand, out)
+            out_ref[r * 128:(r + 1) * 128,
+                    oc * 128:(oc + 1) * 128] = out.astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("G", "slots_p", "ORP",
                                              "interpret"))
-def k4_compact(symT, valT, *, G, slots_p, ORP, interpret=False):
-    kern = functools.partial(_k4_kernel, slots_p=slots_p, ORP=ORP)
+def k4_compact(sym, val, *, G, slots_p, ORP, interpret=False):
+    """sym/val: (slots_p, R, 128) spliced scan outputs.  Returns denseT
+    (G, ORP) u8 — lane g's first n_g decoded bytes (lane g = r*128+c)."""
+    R = G // 128
+    RT = 8 if R % 8 == 0 else R
+    slots_pp = -(-slots_p // 128) * 128
+    kern = functools.partial(_k4_kernel, slots_p=slots_p, slots_pp=slots_pp,
+                             ORP=ORP, RT=RT)
+    slot_spec = pl.BlockSpec((slots_p, RT, 128), lambda t: (0, t, 0),
+                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
-        grid=(G // 128,),
-        in_specs=[
-            pl.BlockSpec((128, slots_p), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, slots_p), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((128, ORP), lambda t: (t, 0),
+        grid=(R // RT,),
+        in_specs=[slot_spec, slot_spec],
+        out_specs=pl.BlockSpec((RT * 128, ORP), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G, ORP), jnp.uint8),
         interpret=interpret,
-    )(symT, valT)
+    )(sym, val)
 
 
 # ---------------------------------------------------------------------------
@@ -586,23 +633,14 @@ def wide_decode_program(bits3, tabw, lim2, *, B, H, G, steps, steps_p, SEG,
     cut = jnp.where(lim2.reshape(G) > 0, cut, 0)
     cut_slot = jnp.where(cut > 0, (cut - 1) // md + 1, 0)
 
-    fsym, fval = k3_fix(bits3, tabw, entry.reshape(R, 128),
-                        cut.reshape(R, 128), G=G, steps_p=steps_p, SEG=SEG,
+    # K3 splices the fix rows into the scan's sym/val in place (aliased
+    # outputs); K4 folds the lane transpose and slot padding into the
+    # compaction kernel — no XLA pass ever touches the big slot arrays
+    msym, mval = k3_fix(bits3, tabw, entry.reshape(R, 128),
+                        cut.reshape(R, 128), cut_slot.reshape(R, 128),
+                        sym, val, G=G, steps_p=steps_p, SEG=SEG,
                         UNROLL=UNROLL, md=md, interpret=interpret)
-    slots_p0 = steps_p // md
-    cs3 = cut_slot.reshape(1, R, 128)
-    sl_iota = jnp.arange(slots_p0, dtype=jnp.int32).reshape(slots_p0, 1, 1)
-    take_fix = sl_iota < cs3
-    sym = jnp.where(take_fix, fsym, sym)
-    val = jnp.where(take_fix, fval, val)
-
-    slots_pp = -(-slots_p // 128) * 128
-    symT = sym.reshape(slots_p, G).T
-    valT = val.reshape(slots_p, G).T
-    if slots_pp != slots_p:
-        symT = jnp.pad(symT, ((0, 0), (0, slots_pp - slots_p)))
-        valT = jnp.pad(valT, ((0, 0), (0, slots_pp - slots_p)))
-    denseT = k4_compact(symT, valT, G=G, slots_p=slots_pp, ORP=ORP,
+    denseT = k4_compact(msym, mval, G=G, slots_p=slots_p, ORP=ORP,
                         interpret=interpret)
     # fence: a 1-element value data-dependent on the LAST kernel's output,
     # so a tiny readback provably brackets the whole program (this
