@@ -91,8 +91,15 @@ def _wide_candidate(td):
     avg = hf.bits / max(hf.uncompressed_size, 1)
     p = ws._plan(hf.bits, H, md, avg_len=avg)
     G = p["G"]
-    tabw = jnp.asarray(ws.pack_pair_table(dfa))
-    mat = ws.bits3_matrix(hf.payload, hf.bits, G, p["B"], p["steps_p"])
+    chunk2 = md >= 2 and p["UNROLL"] % 2 == 0 and p["SEG"] % 2 == 0
+    C0 = C1 = 0
+    if chunk2:
+        tabq, C0, C1 = ws.pack_quad_tables(dfa)
+        tabw = jnp.asarray(tabq)
+        mat = ws.bits2_matrix(hf.payload, hf.bits, G, p["B"], p["steps_p"])
+    else:
+        tabw = jnp.asarray(ws.pack_pair_table(dfa))
+        mat = ws.bits3_matrix(hf.payload, hf.bits, G, p["B"], p["steps_p"])
     bits3 = jnp.asarray(mat)
     lane = np.arange(G, dtype=np.int64).reshape(G // 128, 128)
     lim2 = jnp.asarray(np.clip(hf.bits - lane * p["B"], -(1 << 30),
@@ -102,7 +109,8 @@ def _wide_candidate(td):
         denseT, n, total, fence = ws.wide_decode_program(
             bits3, tabw, lim2, B=p["B"], H=H, G=G, steps=p["steps"],
             steps_p=p["steps_p"], SEG=p["SEG"], UNROLL=p["UNROLL"], md=md,
-            Rg=p["Rg"], NG=p["NG"], ORP=p["ORP"], RB=p["RB"])
+            Rg=p["Rg"], NG=p["NG"], ORP=p["ORP"], RB=p["RB"], C0=C0, C1=C1,
+            chunk2=chunk2)
         return fence, (denseT, n)
 
     def materialize(out):

@@ -339,6 +339,337 @@ def k1_scan(bits3, tabw, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL, md,
 
 
 # ---------------------------------------------------------------------------
+# 2-bit chunked scan variants (k-bit chunking role: jumptableapproach.c:
+# 173-258 — the reference folds k bits per DFA step; here k=2 halves the
+# per-bit bookkeeping of every scan while the gather rate stays 1/bit)
+#
+# Requires md >= 2 (min code length): then a 2-bit chunk holds at most
+# one emission and a root restart never re-emits within the chunk, so a
+# 16-bit composite entry suffices:
+#   emit=1:  sym<<8 | 0x80 | pos      (pos = which chunk bit emitted;
+#            the post-emission state is pos==1 ? root : root_child[b1],
+#            recovered from the C0/C1 constants at decode time)
+#   emit=0:  next_state (7 bits)
+# packed as two per-state int32 words T_b0 = e(b1=0) | e(b1=1)<<16.
+
+PAD2 = 4  # bits2 value marking a past-the-end chunk
+
+
+def pack_quad_tables(dfa: LaneDFA):
+    """(2, 128) int32 quad tables + (C0, C1) root-child states.
+    Row b0 of the table, selected by the chunk's first bit; the second
+    bit picks the 16-bit half.  Requires md >= 2 (caller checks)."""
+    n_states = dfa.entry.shape[0] // 2
+    if n_states > MAX_STATES:
+        raise ValueError(f"{n_states} states > {MAX_STATES} (quad table)")
+    ent = dfa.entry.astype(np.int64)
+
+    def leaf16(e):
+        return int(((e >> 16) & 0xFF) << 8)
+
+    C = []
+    for b in (0, 1):
+        if ent[b] & EMIT_BIT:
+            raise ValueError("md < 2: root child is a leaf")
+        C.append(int(ent[b] & STATE_MASK))
+    out = np.zeros((2, 128), dtype=np.int32)
+    for st in range(n_states):
+        for b0 in (0, 1):
+            e0 = ent[2 * st + b0]
+            for b1 in (0, 1):
+                if e0 & EMIT_BIT:
+                    e16 = leaf16(e0) | 0x80 | 0
+                else:
+                    s1 = int(e0 & STATE_MASK)
+                    e1 = ent[2 * s1 + b1]
+                    if e1 & EMIT_BIT:
+                        e16 = leaf16(e1) | 0x80 | 1
+                    else:
+                        e16 = int(e1 & STATE_MASK)
+                out[b0, st] |= e16 << (16 * b1)
+    return out, C[0], C[1]
+
+
+def bits2_matrix(payload: np.ndarray, bits: int, G: int, B: int,
+                 steps_p: int):
+    """(steps_p//2, R, 128) uint8 of 2-bit chunks: element [j2, r, c]
+    packs stream bits (r*128+c)*B + 2*j2 (bit0) and +2*j2+1 (bit1) as
+    b0 | b1<<1; past-the-end chunks hold PAD2.  An odd-length stream is
+    extended with one literal 0 bit — harmless for md >= 2 trees (one
+    bit can neither complete a fresh codeword nor emit from the root,
+    and a pre-merge 0-chain's spurious count would cancel in
+    cnt0(end) - cum0(merge))."""
+    from huffmandecoderongpus_tpu.huffio.bitio import unpack_bits
+
+    R = G // 128
+    assert B % 2 == 0 and steps_p % 2 == 0
+    bits_eff = bits + (bits & 1)
+    flat = np.zeros(G * B + steps_p, dtype=np.uint8)
+    flat[:bits] = unpack_bits(payload, bits)
+    flat[bits:bits_eff] = 0
+    half = (G * B + steps_p) // 2
+    flatC = (flat[0::2] | (flat[1::2] << 1)).astype(np.uint8)
+    dead = np.arange(half, dtype=np.int64) * 2 >= bits_eff
+    flatC[dead] = PAD2
+    mat = np.lib.stride_tricks.as_strided(
+        flatC, shape=(steps_p // 2, G), strides=(1, B // 2))
+    return np.ascontiguousarray(mat).reshape(steps_p // 2, R, 128)
+
+
+def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
+                cntmap_ref, exmap_ref, mrowmap_ref,
+                node0, cnt0, done0, exit0, nodeC, cntC, recC, cumMC,
+                v_scr, cum_scr, *, B, H, steps, SEG, UNROLL, md, CH, HP,
+                RB, C0, C1):
+    """Chunked twin of _k1_kernel: same grid/specs, bits arrive paired
+    (SEG//2 chunk rows per segment), v_scr holds the 0-chain's per-chunk
+    emission position mask (emit << pos)."""
+    R = RB
+    s = pl.program_id(1)
+    tb0 = jnp.broadcast_to(tab_ref[0:1, :], (R, 128))
+    tb1 = jnp.broadcast_to(tab_ref[1:2, :], (R, 128))
+
+    @pl.when(s == 0)
+    def _init():
+        z = jnp.zeros((R, 128), jnp.int32)
+        node0[...] = z
+        cnt0[...] = z
+        done0[...] = z
+        exit0[...] = z
+        zc = jnp.zeros((CH, R, 128), jnp.int32)
+        nodeC[...] = zc
+        cntC[...] = zc
+        recC[...] = zc
+        cumMC[...] = zc
+
+    live_any = jnp.int32(0)
+    lim_ok = (lim_ref[...] > s * SEG).astype(jnp.int32)
+    for c in range(CH):
+        live_any = jnp.maximum(
+            live_any, jnp.max((1 - (recC[c] & 1)) * lim_ok))
+
+    def chunk_entry(node, b):
+        """One composite 2-bit lookup.  Returns (e, rc) with e the
+        selected 16-bit entry (0 for pad) and rc the root child of the
+        chunk's second bit."""
+        b0 = b & 1
+        b1 = (b >> 1) & 1
+        w0 = jnp.take_along_axis(tb0, node, axis=1)
+        w1 = jnp.take_along_axis(tb1, node, axis=1)
+        w = jnp.where(b0 > 0, w1, w0)
+        e = (w >> (b1 << 4)) & 0xFFFF
+        e = jnp.where(b >= PAD2, 0, e)
+        rc = jnp.where(b1 > 0, C1, C0)
+        return e, rc
+
+    # ---- main 0-chain pass ------------------------------------------------
+    def main_block(track_exit, store_scr):
+        def body(i, carry):
+            node, cnt, done, ex0 = carry
+            n_slots = UNROLL // md
+            saccs = [jnp.zeros((R, 128), jnp.uint8) for _ in range(n_slots)]
+            vaccs = [jnp.zeros((R, 128), jnp.int32) for _ in range(n_slots)]
+            for cu in range(UNROLL // 2):
+                lj2 = i * (UNROLL // 2) + cu
+                jbit = s * SEG + 2 * lj2  # absolute bit of chunk start
+                b = bits_ref[lj2].astype(jnp.int32)
+                e, rc = chunk_entry(node, b)
+                emit = (e >> 7) & 1
+                pos = e & 1
+                sym8 = (e >> 8).astype(jnp.uint8)
+                node = jnp.where(emit > 0, (1 - pos) * rc, e & 127)
+                if track_exit:
+                    emit = emit * (1 - done)
+                    exiting = emit * jnp.where(jbit + pos + 1 >= B, 1, 0)
+                    ex0 = jnp.where(exiting > 0, jbit + pos + 1 - B, ex0)
+                    done = done | exiting
+                cnt = cnt + emit
+                if store_scr:
+                    v_scr[lj2] = emit << pos
+                    cum_scr[lj2] = cnt
+                # slot attribution: both chunk bits land in the same
+                # md-slot iff md is even; odd md splits by pos
+                # (i*UNROLL is a multiple of md, so only the in-body
+                # offset matters and the indices are static)
+                sl0 = (2 * cu) // md
+                sl1 = (2 * cu + 1) // md
+                sym_m = jnp.where(emit > 0, sym8, 0)
+                if sl0 == sl1:
+                    saccs[sl0] = saccs[sl0] | sym_m
+                    vaccs[sl0] = vaccs[sl0] | emit
+                else:
+                    m0 = emit * (1 - pos)
+                    m1 = emit * pos
+                    saccs[sl0] = saccs[sl0] | jnp.where(m0 > 0, sym8, 0)
+                    vaccs[sl0] = vaccs[sl0] | m0
+                    saccs[sl1] = saccs[sl1] | jnp.where(m1 > 0, sym8, 0)
+                    vaccs[sl1] = vaccs[sl1] | m1
+            for t in range(n_slots):
+                sym_ref[i * n_slots + t] = saccs[t]
+                val_ref[i * n_slots + t] = vaccs[t].astype(jnp.uint8)
+            return node, cnt, done, ex0
+
+        out = jax.lax.fori_loop(
+            0, SEG // UNROLL, body,
+            (node0[...], cnt0[...], done0[...], exit0[...]))
+        node0[...], cnt0[...], done0[...], exit0[...] = out
+
+    tail = (s + 1) * SEG > B - 1
+    live = live_any > 0
+
+    @pl.when(tail & live)
+    def _full_s():
+        main_block(True, True)
+
+    @pl.when(tail & ~live)
+    def _full_n():
+        main_block(True, False)
+
+    @pl.when(~tail & live)
+    def _light_s():
+        main_block(False, True)
+
+    @pl.when(~tail & ~live)
+    def _light_n():
+        main_block(False, False)
+
+    # ---- candidate pass ---------------------------------------------------
+    @pl.when(live_any > 0)
+    def _cands():
+        tb0c = jnp.broadcast_to(tab_ref[0:1, :], (CH * R, 128))
+        tb1c = jnp.broadcast_to(tab_ref[1:2, :], (CH * R, 128))
+        chain_of = jax.lax.broadcasted_iota(jnp.int32, (CH, R, 128), 0)
+
+        def body(i, carry):
+            node, cnt, rec, cum = carry
+            lj2 = i
+            jbit = s * SEG + 2 * lj2
+            b = bits_ref[lj2].astype(jnp.int32)
+            b0 = (b & 1)[None]
+            b1 = ((b >> 1) & 1)[None]
+            pm = (b >= PAD2)[None]
+            v0m = v_scr[lj2][None]
+            cum0 = cum_scr[lj2][None]
+            n2 = node.reshape(CH * R, 128)
+            w0 = jnp.take_along_axis(tb0c, n2, axis=1).reshape(CH, R, 128)
+            w1 = jnp.take_along_axis(tb1c, n2, axis=1).reshape(CH, R, 128)
+            w = jnp.where(b0 > 0, w1, w0)
+            e = (w >> (b1 << 4)) & 0xFFFF
+            e = jnp.where(pm, 0, e)
+            emit = (e >> 7) & 1
+            pos = e & 1
+            rc = jnp.where(b1 > 0, C1, C0)
+            node_full = jnp.where(emit > 0, (1 - pos) * rc, e & 127)
+            alive = 1 - (rec & 1)
+            started = jnp.where(jbit >= chain_of + 1, 1, 0)
+            partial = jnp.where(chain_of == jbit, 1, 0)
+            node = jnp.where(alive * started > 0, node_full, node)
+            node = jnp.where((alive * partial > 0) & ~pm,
+                             jnp.broadcast_to(rc, node.shape), node)
+            em = emit * alive * started
+            cnt = cnt + em
+            mbit = (v0m >> pos) & 1
+            late = em * jnp.where(jbit + pos + 1 >= B, 1, 0)
+            resolve = ((em * mbit) | late) > 0
+            rec_val = (mbit << 1) + (((jbit + pos) << 2) | 1)
+            rec = jnp.where(resolve, rec_val, rec)
+            cum = jnp.where(resolve, jnp.broadcast_to(cum0, cum.shape), cum)
+            return node, cnt, rec, cum
+
+        init = (nodeC[...], cntC[...], recC[...], cumMC[...])
+        node, cnt, rec, cum = jax.lax.fori_loop(0, SEG // 2, body, init,
+                                                unroll=SEG // 2)
+        nodeC[...] = node
+        cntC[...] = cnt
+        recC[...] = rec
+        cumMC[...] = cum
+
+    # ---- epilogue (identical semantics to the 1-bit kernel) ---------------
+    @pl.when(s == pl.num_programs(1) - 1)
+    def _epilogue():
+        cntmap_ref[0] = cnt0[...]
+        exmap_ref[0] = exit0[...]
+        mrowmap_ref[0] = jnp.full((R, 128), -1, jnp.int32)
+        for c in range(CH):
+            rec = recC[c]
+            mrg = (rec >> 1) & 1
+            mrow = rec >> 2
+            cnt_tot = cntC[c] + mrg * (cnt0[...] - cumMC[c])
+            ex_tot = jnp.where(mrg > 0, exit0[...], mrow + 1 - B)
+            cntmap_ref[c + 1] = cnt_tot
+            exmap_ref[c + 1] = jnp.where(
+                (rec & 1) > 0, ex_tot, jnp.zeros((R, 128), jnp.int32))
+            mrowmap_ref[c + 1] = jnp.where(
+                mrg > 0, mrow, jnp.full((R, 128), steps, jnp.int32))
+        for o in range(CH + 1, HP):
+            cntmap_ref[o] = jnp.zeros((R, 128), jnp.int32)
+            exmap_ref[o] = jnp.zeros((R, 128), jnp.int32)
+            mrowmap_ref[o] = jnp.full((R, 128), steps, jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "B", "H", "G", "steps", "steps_p", "SEG", "UNROLL", "md", "RB",
+    "C0", "C1", "interpret"))
+def k1_scan2(bits2, tabq, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL,
+             md, C0, C1, RB=0, interpret=False):
+    R = G // 128
+    RB = min(RB or R, R)
+    RG = R // RB
+    S = steps_p // SEG
+    CH = max(H - 1, 1)
+    HP = -(-(CH + 1) // 8) * 8
+    slots_seg = SEG // md
+    slots_p = steps_p // md
+    kern = functools.partial(
+        _k1_kernel2, B=B, H=H, steps=steps, SEG=SEG, UNROLL=UNROLL,
+        md=md, CH=CH, HP=HP, RB=RB, C0=C0, C1=C1)
+    return pl.pallas_call(
+        kern,
+        grid=(RG, S),
+        in_specs=[
+            pl.BlockSpec((2, 128), lambda rg, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, 128), lambda rg, s: (rg, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SEG // 2, RB, 128), lambda rg, s: (s, rg, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((slots_seg, RB, 128), lambda rg, s: (s, rg, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((slots_seg, RB, 128), lambda rg, s: (s, rg, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HP, RB, 128), lambda rg, s: (0, rg, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HP, RB, 128), lambda rg, s: (0, rg, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HP, RB, 128), lambda rg, s: (0, rg, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((slots_p, R, 128), jnp.uint8),
+            jax.ShapeDtypeStruct((slots_p, R, 128), jnp.uint8),
+            jax.ShapeDtypeStruct((HP, R, 128), jnp.int32),
+            jax.ShapeDtypeStruct((HP, R, 128), jnp.int32),
+            jax.ShapeDtypeStruct((HP, R, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((RB, 128), jnp.int32),            # node0
+            pltpu.VMEM((RB, 128), jnp.int32),            # cnt0
+            pltpu.VMEM((RB, 128), jnp.int32),            # done0
+            pltpu.VMEM((RB, 128), jnp.int32),            # exit0
+            pltpu.VMEM((CH, RB, 128), jnp.int32),        # nodeC
+            pltpu.VMEM((CH, RB, 128), jnp.int32),        # cntC
+            pltpu.VMEM((CH, RB, 128), jnp.int32),        # recC
+            pltpu.VMEM((CH, RB, 128), jnp.int32),        # cumMC
+            pltpu.VMEM((SEG // 2, RB, 128), jnp.int32),  # v_scr
+            pltpu.VMEM((SEG // 2, RB, 128), jnp.int32),  # cum_scr
+        ],
+        interpret=interpret,
+    )(tabq, lim2, bits2)
+
+
+# ---------------------------------------------------------------------------
 # K2: composition (true entry offset per lane)
 
 
@@ -490,6 +821,125 @@ def k3_fix(bits3, tabw, ent2, cut2, cutsl2, sym, val, *, G, steps_p, SEG,
     )(tabw, ent2, cut2, cutsl2, bits3, sym, val)
 
 
+def _k3_kernel2(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
+                symin_ref, valin_ref, sym_ref, val_ref, nodeF,
+                *, G, SEG, UNROLL, md, C0, C1):
+    """Chunked twin of _k3_kernel (fix + splice; see there).  A lane
+    whose entry bit is odd activates mid-chunk: that chunk consumes only
+    its second bit, i.e. a root step to C0/C1 with no emission possible
+    (md >= 2)."""
+    R = G // 128
+    s = pl.program_id(0)
+    slots_seg = SEG // md
+    n_slots_seg = slots_seg
+    tb0 = jnp.broadcast_to(tab_ref[0:1, :], (R, 128))
+    tb1 = jnp.broadcast_to(tab_ref[1:2, :], (R, 128))
+
+    @pl.when(s == 0)
+    def _init():
+        nodeF[...] = jnp.zeros((R, 128), jnp.int32)
+
+    ent = ent_ref[...]
+    gated = jnp.max(cut_ref[...]) > s * SEG
+
+    @pl.when(gated)
+    def _run():
+        cutsl = cutsl_ref[...]
+        n_slots = UNROLL // md
+
+        def body(i, node):
+            saccs = [jnp.zeros((R, 128), jnp.uint8) for _ in range(n_slots)]
+            vaccs = [jnp.zeros((R, 128), jnp.int32) for _ in range(n_slots)]
+            for cu in range(UNROLL // 2):
+                lj2 = i * (UNROLL // 2) + cu
+                jbit = s * SEG + 2 * lj2
+                b = bits_ref[lj2].astype(jnp.int32)
+                b0 = b & 1
+                b1 = (b >> 1) & 1
+                w0 = jnp.take_along_axis(tb0, node, axis=1)
+                w1 = jnp.take_along_axis(tb1, node, axis=1)
+                w = jnp.where(b0 > 0, w1, w0)
+                e = (w >> (b1 << 4)) & 0xFFFF
+                e = jnp.where(b >= PAD2, 0, e)
+                emit = (e >> 7) & 1
+                pos = e & 1
+                sym8 = (e >> 8).astype(jnp.uint8)
+                rc = jnp.where(b1 > 0, C1, C0)
+                node_full = jnp.where(emit > 0, (1 - pos) * rc, e & 127)
+                started = jbit >= ent
+                partial = ent == jbit + 1
+                node = jnp.where(started, node_full, node)
+                node = jnp.where(partial & (b < PAD2), rc, node)
+                em = emit * started.astype(jnp.int32)
+                sl0 = (2 * cu) // md
+                sl1 = (2 * cu + 1) // md
+                sym_m = jnp.where(em > 0, sym8, 0)
+                if sl0 == sl1:
+                    saccs[sl0] = saccs[sl0] | sym_m
+                    vaccs[sl0] = vaccs[sl0] | em
+                else:
+                    m0 = em * (1 - pos)
+                    m1 = em * pos
+                    saccs[sl0] = saccs[sl0] | jnp.where(m0 > 0, sym8, 0)
+                    vaccs[sl0] = vaccs[sl0] | m0
+                    saccs[sl1] = saccs[sl1] | jnp.where(m1 > 0, sym8, 0)
+                    vaccs[sl1] = vaccs[sl1] | m1
+            for t in range(n_slots):
+                sl = i * n_slots + t
+                fix = (s * SEG) // md + sl < cutsl
+                sym_ref[sl] = jnp.where(fix, saccs[t], symin_ref[sl])
+                val_ref[sl] = jnp.where(fix, vaccs[t].astype(jnp.uint8),
+                                        valin_ref[sl])
+            return node
+
+        nodeF[...] = jax.lax.fori_loop(0, SEG // UNROLL, body, nodeF[...])
+
+    @pl.when(~gated)
+    def _copy():
+        for sl in range(n_slots_seg):
+            sym_ref[sl] = symin_ref[sl]
+            val_ref[sl] = valin_ref[sl]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "G", "steps_p", "SEG", "UNROLL", "md", "C0", "C1", "interpret"))
+def k3_fix2(bits2, tabq, ent2, cut2, cutsl2, sym, val, *, G, steps_p, SEG,
+            UNROLL, md, C0, C1, interpret=False):
+    R = G // 128
+    S = steps_p // SEG
+    slots_seg = SEG // md
+    kern = functools.partial(_k3_kernel2, G=G, SEG=SEG, UNROLL=UNROLL,
+                             md=md, C0=C0, C1=C1)
+    slot_spec = pl.BlockSpec((slots_seg, R, 128), lambda s: (s, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((2, 128), lambda s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SEG // 2, R, 128), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            slot_spec,
+            slot_spec,
+        ],
+        out_specs=[slot_spec, slot_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((steps_p // md, R, 128), jnp.uint8),
+            jax.ShapeDtypeStruct((steps_p // md, R, 128), jnp.uint8),
+        ],
+        scratch_shapes=[pltpu.VMEM((R, 128), jnp.int32)],
+        input_output_aliases={5: 0, 6: 1},
+        interpret=interpret,
+    )(tabq, ent2, cut2, cutsl2, bits2, sym, val)
+
+
 # ---------------------------------------------------------------------------
 # K4: per-lane compaction to dense prefixes
 
@@ -599,16 +1049,27 @@ def _select_h(maps, idx, H):
 
 @functools.partial(jax.jit, static_argnames=(
     "B", "H", "G", "steps", "steps_p", "SEG", "UNROLL", "md", "Rg", "NG",
-    "ORP", "RB", "interpret"))
+    "ORP", "RB", "C0", "C1", "chunk2", "interpret"))
 def wide_decode_program(bits3, tabw, lim2, *, B, H, G, steps, steps_p, SEG,
-                        UNROLL, md, Rg, NG, ORP, RB=0, interpret=False):
+                        UNROLL, md, Rg, NG, ORP, RB=0, C0=0, C1=0,
+                        chunk2=False, interpret=False):
     """Full fused decode.  Returns (denseT (G, ORP) u8, n (G,) i32,
-    total i32, fence i32)."""
+    total i32, fence i32).
+
+    ``chunk2``: bits3 is a bits2_matrix of 2-bit chunks and tabw the
+    pack_quad_tables word pair — every scan steps two bits at a time
+    (k-bit chunking, jumptableapproach.c:173-258 role)."""
     R = G // 128
     slots_p = steps_p // md
-    sym, val, cntmap, exmap, mrowmap = k1_scan(
-        bits3, tabw, lim2, B=B, H=H, G=G, steps=steps, steps_p=steps_p,
-        SEG=SEG, UNROLL=UNROLL, md=md, RB=RB, interpret=interpret)
+    if chunk2:
+        sym, val, cntmap, exmap, mrowmap = k1_scan2(
+            bits3, tabw, lim2, B=B, H=H, G=G, steps=steps, steps_p=steps_p,
+            SEG=SEG, UNROLL=UNROLL, md=md, C0=C0, C1=C1, RB=RB,
+            interpret=interpret)
+    else:
+        sym, val, cntmap, exmap, mrowmap = k1_scan(
+            bits3, tabw, lim2, B=B, H=H, G=G, steps=steps, steps_p=steps_p,
+            SEG=SEG, UNROLL=UNROLL, md=md, RB=RB, interpret=interpret)
 
     HP = cntmap.shape[0]
     # maps -> (Rg, NG, 128) with lane l = g*Rg + r, entries on lanes
@@ -636,10 +1097,17 @@ def wide_decode_program(bits3, tabw, lim2, *, B, H, G, steps, steps_p, SEG,
     # K3 splices the fix rows into the scan's sym/val in place (aliased
     # outputs); K4 folds the lane transpose and slot padding into the
     # compaction kernel — no XLA pass ever touches the big slot arrays
-    msym, mval = k3_fix(bits3, tabw, entry.reshape(R, 128),
-                        cut.reshape(R, 128), cut_slot.reshape(R, 128),
-                        sym, val, G=G, steps_p=steps_p, SEG=SEG,
-                        UNROLL=UNROLL, md=md, interpret=interpret)
+    if chunk2:
+        msym, mval = k3_fix2(bits3, tabw, entry.reshape(R, 128),
+                             cut.reshape(R, 128), cut_slot.reshape(R, 128),
+                             sym, val, G=G, steps_p=steps_p, SEG=SEG,
+                             UNROLL=UNROLL, md=md, C0=C0, C1=C1,
+                             interpret=interpret)
+    else:
+        msym, mval = k3_fix(bits3, tabw, entry.reshape(R, 128),
+                            cut.reshape(R, 128), cut_slot.reshape(R, 128),
+                            sym, val, G=G, steps_p=steps_p, SEG=SEG,
+                            UNROLL=UNROLL, md=md, interpret=interpret)
     denseT = k4_compact(msym, mval, G=G, slots_p=slots_p, ORP=ORP,
                         interpret=interpret)
     # fence: a 1-element value data-dependent on the LAST kernel's output,
@@ -660,6 +1128,11 @@ def _plan(bits: int, H: int, md: int, lanes=None, avg_len=None):
     dense output buffer tightly; a lane that overflows it sets the
     wrapper's fallback path, so this is a heuristic, not a bound."""
     UNROLL = md * max(1, round(8 / md))
+    if UNROLL % 2:
+        # odd md: the smallest even multiple of md near 8 keeps the
+        # 2-bit chunked kernels eligible (they need whole chunks per
+        # unrolled body; half the shipped corpora have md == 3)
+        UNROLL = 2 * md * max(1, round(4 / md))
     SEG = UNROLL * max(1, 32 // UNROLL)
     if lanes is None:
         # HW sweep (v5e, 2026-08-17): throughput peaks at ~500 decoded
@@ -730,8 +1203,17 @@ def decode_widescan(hf, lanes=None, check_size=True, interpret=False):
     avg = hf.bits / max(hf.uncompressed_size, 1)
     p = _plan(hf.bits, H, md, lanes=lanes, avg_len=avg)
     G = p["G"]
-    tabw = jnp.asarray(pack_pair_table(dfa))
-    mat = bits3_matrix(hf.payload, hf.bits, G, p["B"], p["steps_p"])
+    # 2-bit chunked scans need md >= 2 (one emission per chunk) and an
+    # even UNROLL/SEG; every shipped corpus tree qualifies
+    chunk2 = md >= 2 and p["UNROLL"] % 2 == 0 and p["SEG"] % 2 == 0
+    C0 = C1 = 0
+    if chunk2:
+        tabq, C0, C1 = pack_quad_tables(dfa)
+        tabw = jnp.asarray(tabq)
+        mat = bits2_matrix(hf.payload, hf.bits, G, p["B"], p["steps_p"])
+    else:
+        tabw = jnp.asarray(pack_pair_table(dfa))
+        mat = bits3_matrix(hf.payload, hf.bits, G, p["B"], p["steps_p"])
     lane = np.arange(G, dtype=np.int64).reshape(G // 128, 128)
     lim2 = jnp.asarray(
         np.clip(hf.bits - lane * p["B"], -(1 << 30), 1 << 30).astype(np.int32))
@@ -739,8 +1221,8 @@ def decode_widescan(hf, lanes=None, check_size=True, interpret=False):
     denseT, n, total, _fence = wide_decode_program(
         jnp.asarray(mat), tabw, lim2, B=p["B"], H=H, G=G, steps=p["steps"],
         steps_p=p["steps_p"], SEG=p["SEG"], UNROLL=p["UNROLL"], md=md,
-        Rg=p["Rg"], NG=p["NG"], ORP=p["ORP"], RB=p["RB"],
-        interpret=interpret)
+        Rg=p["Rg"], NG=p["NG"], ORP=p["ORP"], RB=p["RB"], C0=C0, C1=C1,
+        chunk2=chunk2, interpret=interpret)
     if check_size and int(total) != hf.uncompressed_size:
         raise RuntimeError(
             f"decoded {int(total)} symbols, header says "

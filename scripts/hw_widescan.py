@@ -51,8 +51,15 @@ def main():
     print(f"{corpus}: bits={hf.bits} H={H} md={md} plan={p}", flush=True)
     G = p["G"]
     R = G // 128
-    tabw = jnp.asarray(ws.pack_pair_table(dfa))
-    mat = ws.bits3_matrix(hf.payload, hf.bits, G, p["B"], p["steps_p"])
+    chunk2 = md >= 2 and p["UNROLL"] % 2 == 0 and p["SEG"] % 2 == 0
+    C0 = C1 = 0
+    if chunk2:
+        tabq, C0, C1 = ws.pack_quad_tables(dfa)
+        tabw = jnp.asarray(tabq)
+        mat = ws.bits2_matrix(hf.payload, hf.bits, G, p["B"], p["steps_p"])
+    else:
+        tabw = jnp.asarray(ws.pack_pair_table(dfa))
+        mat = ws.bits3_matrix(hf.payload, hf.bits, G, p["B"], p["steps_p"])
     bits3 = jnp.asarray(mat)
     lane = np.arange(G, dtype=np.int64).reshape(R, 128)
     lim2 = jnp.asarray(np.clip(hf.bits - lane * p["B"], -(1 << 30),
@@ -61,14 +68,16 @@ def main():
     print(f"floor {fl*1e3:.1f} ms", flush=True)
     kw = dict(B=p["B"], H=H, G=G, steps=p["steps"], steps_p=p["steps_p"],
               SEG=p["SEG"], UNROLL=p["UNROLL"], md=md, RB=p["RB"])
+    kw1 = dict(kw, C0=C0, C1=C1) if chunk2 else kw
+    k1 = (lambda *a, **k2: ws.k1_scan2(*a, **k2)) if chunk2 else ws.k1_scan
 
     # --- stage 1: K1 alone --------------------------------------------------
     try:
         t0 = time.perf_counter()
-        outs = ws.k1_scan(bits3, tabw, lim2, **kw)
+        outs = k1(bits3, tabw, lim2, **kw1)
         np.asarray(outs[2]).reshape(-1)[:1]
         print(f"K1 compile+run ok ({time.perf_counter()-t0:.1f}s)", flush=True)
-        t, _ = timeit(lambda: ws.k1_scan(bits3, tabw, lim2, **kw),
+        t, _ = timeit(lambda: k1(bits3, tabw, lim2, **kw1),
                       lambda o: o[2], fl)
         print(f"K1: {t*1e3:.3f} ms", flush=True)
     except Exception as e:
@@ -79,7 +88,8 @@ def main():
     try:
         t0 = time.perf_counter()
         run = lambda: ws.wide_decode_program(
-            bits3, tabw, lim2, Rg=p["Rg"], NG=p["NG"], ORP=p["ORP"], **kw)
+            bits3, tabw, lim2, Rg=p["Rg"], NG=p["NG"], ORP=p["ORP"],
+            C0=C0, C1=C1, chunk2=chunk2, **kw)
         denseT, n, total, fence = run()
         np.asarray(fence)
         print(f"program compile+run ok ({time.perf_counter()-t0:.1f}s) "

@@ -136,3 +136,20 @@ def test_widescan_multi_rowgroup(rng):
     mask = np.arange(p["ORP"])[None, :] < counts[:, None]
     out = np.asarray(denseT)[mask]
     np.testing.assert_array_equal(out, raw)
+
+
+def test_widescan_odd_md_chunked(paper1):
+    # paper1's tree has min code length 3 (odd): the 2-bit chunked
+    # kernels must handle emissions split across md-slot boundaries
+    # (sl0 != sl1) and mid-chunk lane entries
+    from huffmandecoderongpus_tpu.ops.pallas_widescan import _plan
+
+    raw = np.asarray(paper1.ucd[:30000], dtype=np.uint8)
+    hf = encode_bytes(raw, tree=paper1.cd.tree)
+    dfa = build_lane_dfa(hf.tree)
+    assert dfa.min_depth == 3
+    p = _plan(hf.bits, dfa.height, 3, lanes=1024,
+              avg_len=hf.bits / hf.uncompressed_size)
+    assert p["UNROLL"] % 2 == 0  # chunk2-eligible geometry
+    out = decode_widescan(hf, lanes=1024, interpret=True)
+    np.testing.assert_array_equal(out, raw)
