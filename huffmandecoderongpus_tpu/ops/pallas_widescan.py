@@ -407,10 +407,8 @@ def bits2_matrix(payload: np.ndarray, bits: int, G: int, B: int,
     flat = np.zeros(G * B + steps_p, dtype=np.uint8)
     flat[:bits] = unpack_bits(payload, bits)
     flat[bits:bits_eff] = 0
-    half = (G * B + steps_p) // 2
     flatC = (flat[0::2] | (flat[1::2] << 1)).astype(np.uint8)
-    dead = np.arange(half, dtype=np.int64) * 2 >= bits_eff
-    flatC[dead] = PAD2
+    flatC[bits_eff // 2:] = PAD2  # contiguous past-the-end tail
     mat = np.lib.stride_tricks.as_strided(
         flatC, shape=(steps_p // 2, G), strides=(1, B // 2))
     return np.ascontiguousarray(mat).reshape(steps_p // 2, R, 128)
