@@ -989,25 +989,31 @@ def _k4_kernel(sym_ref, val_ref, out_ref, *, slots_p, slots_pp, ORP, RT):
         wpre = [jnp.zeros((128, 1), jnp.int32)]
         for w in range(W):
             wpre.append(wpre[-1] + wcs[w])
+        max_cnt = jnp.max(wpre[W])
 
         for oc in range(ORP // 128):
-            # rank i in [128*oc, 128*oc+128) can only come from windows
-            # w >= oc: window w holds ranks < 128*(w+1) (<=128 valids/win)
-            i_vec = iota + oc * 128
-            q = jnp.full((128, 128), oc, jnp.int32)
-            wsel = jnp.broadcast_to(wpre[oc], (128, 128))
-            for w in range(oc + 1, W):
-                ge = i_vec >= jnp.broadcast_to(wpre[w], (128, 128))
-                q = q + ge.astype(jnp.int32)
-                wsel = jnp.where(ge, jnp.broadcast_to(wpre[w], (128, 128)),
-                                 wsel)
-            p = jnp.clip(i_vec - wsel, 0, 127)
-            out = jnp.zeros((128, 128), jnp.int32)
-            for w in range(oc, W):
-                cand = jnp.take_along_axis(denses[w], p, axis=1)
-                out = jnp.where(q == w, cand, out)
-            out_ref[r * 128:(r + 1) * 128,
-                    oc * 128:(oc + 1) * 128] = out.astype(jnp.uint8)
+            # out windows past every lane's count hold only masked-off
+            # garbage (materialize trims by counts), so skip them — ORP's
+            # 1.25x headroom makes the last ~quarter skippable
+            @pl.when(max_cnt > oc * 128)
+            def _ow(oc=oc):
+                # rank i in [128*oc, 128*oc+128) can only come from
+                # windows w >= oc (window w holds ranks < 128*(w+1))
+                i_vec = iota + oc * 128
+                q = jnp.full((128, 128), oc, jnp.int32)
+                wsel = jnp.broadcast_to(wpre[oc], (128, 128))
+                for w in range(oc + 1, W):
+                    ge = i_vec >= jnp.broadcast_to(wpre[w], (128, 128))
+                    q = q + ge.astype(jnp.int32)
+                    wsel = jnp.where(
+                        ge, jnp.broadcast_to(wpre[w], (128, 128)), wsel)
+                p = jnp.clip(i_vec - wsel, 0, 127)
+                out = jnp.zeros((128, 128), jnp.int32)
+                for w in range(oc, W):
+                    cand = jnp.take_along_axis(denses[w], p, axis=1)
+                    out = jnp.where(q == w, cand, out)
+                out_ref[r * 128:(r + 1) * 128,
+                        oc * 128:(oc + 1) * 128] = out.astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("G", "slots_p", "ORP",
