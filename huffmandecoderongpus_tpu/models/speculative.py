@@ -42,6 +42,19 @@ def spec_sharded(hf, param=None) -> np.ndarray:
     return decode_sharded(hf, mesh=mesh)
 
 
+@register("lane_sharded_wide", backend="pallas-sharded")
+def lane_sharded_wide(hf, param=None) -> np.ndarray:
+    """Widescan decode sharded over the mesh's lane axis
+    (parallel/lane_sharded.py::decode_lane_sharded_wide) — the round-2
+    multi-chip performance path: per-shard fused chunked scans + dense
+    compaction, stitched by one exit-map all_gather."""
+    from huffmandecoderongpus_tpu.parallel import (
+        decode_lane_sharded_wide, make_mesh)
+
+    mesh = make_mesh(int(param)) if param else make_mesh()
+    return decode_lane_sharded_wide(hf, mesh=mesh)
+
+
 @register("lane_sharded", backend="xla-sharded")
 def lane_sharded(hf, param=None) -> np.ndarray:
     """Lane-DFA decode with lanes sharded over the device mesh

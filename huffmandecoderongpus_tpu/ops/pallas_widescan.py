@@ -671,10 +671,14 @@ def k1_scan2(bits2, tabq, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL,
 # K2: composition (true entry offset per lane)
 
 
-def _k2_kernel(ex_ref, out_ref, *, Rg, NG):
+def _k2_kernel(ex_ref, start_ref, out_ref, tot_ref, *, Rg, NG):
     """ex_ref: (Rg, NG, 128) exit maps — lane l = g*Rg + r, entry offset
-    on the 128-lane axis (padded past H).  out_ref: (Rg, NG, 128) uint8
+    on the 128-lane axis (padded past H).  start_ref: (1, 1) SMEM scalar,
+    the entry offset of the very first lane (0 single-chip; a shard's
+    composed entry in the multi-chip path).  out_ref: (Rg, NG, 128) uint8
     with out[r, g, :] = true entry offset of lane g*Rg + r (replicated).
+    tot_ref: (1, 128) the whole block's composite exit map (exit offset
+    for each possible first-lane entry) — the multi-chip shard map.
     Counts/bases are recovered in XLA from the entry offsets."""
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (NG, 128), 1)
     iota_g = jax.lax.broadcasted_iota(jnp.int32, (NG, 128), 0)
@@ -692,7 +696,15 @@ def _k2_kernel(ex_ref, out_ref, *, Rg, NG):
         sh_st = jnp.where(iota_g < d, iota_l, pltpu.roll(pst, d, axis=0))
         pst = jnp.take_along_axis(pst, sh_st, axis=1)
         d <<= 1
-    g_off = jnp.broadcast_to(pst[:, 0:1], (NG, 128))
+    # lane-axis dynamic_gather mis-lowers below 8 sublane rows (v5e), so
+    # compose the composite row on the last 8 and keep the final one
+    # (NG >= 8 by the _plan/NGl group rule)
+    tot8 = jnp.take_along_axis(gstate[NG - 8:NG, :], pst[NG - 8:NG, :],
+                               axis=1)
+    tot_ref[...] = tot8[7:8, :].astype(jnp.uint8)
+    e0 = start_ref[0, 0]
+    g_off = jnp.take_along_axis(
+        pst, jnp.zeros((NG, 128), jnp.int32) + e0, axis=1)
 
     # pass 3: within-group per-lane entries
     def p3(r, state):
@@ -703,15 +715,21 @@ def _k2_kernel(ex_ref, out_ref, *, Rg, NG):
 
 
 @functools.partial(jax.jit, static_argnames=("Rg", "NG", "interpret"))
-def k2_compose(ex3, *, Rg, NG, interpret=False):
+def k2_compose(ex3, start, *, Rg, NG, interpret=False):
+    """Compose exit maps into per-lane entries given the first lane's
+    entry ``start`` ((1, 1) int32); also returns the block's full
+    composite map (1, 128)."""
     kern = functools.partial(_k2_kernel, Rg=Rg, NG=NG)
     return pl.pallas_call(
         kern,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Rg, NG, 128), jnp.uint8),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((Rg, NG, 128), jnp.uint8),
+                   jax.ShapeDtypeStruct((1, 128), jnp.uint8)],
         interpret=interpret,
-    )(ex3)
+    )(ex3, start)
 
 
 # ---------------------------------------------------------------------------
@@ -1081,7 +1099,8 @@ def wide_decode_program(bits3, tabw, lim2, *, B, H, G, steps, steps_p, SEG,
         m2 = m.reshape(HP, G).T.reshape(NG, Rg, HP).transpose(1, 0, 2)
         return jnp.pad(m2, ((0, 0), (0, 0), (0, 128 - HP)))
 
-    ent3 = k2_compose(to_k2(exmap), Rg=Rg, NG=NG, interpret=interpret)
+    ent3, _tot = k2_compose(to_k2(exmap), jnp.zeros((1, 1), jnp.int32),
+                            Rg=Rg, NG=NG, interpret=interpret)
     entry = ent3[:, :, 0].T.reshape(G).astype(jnp.int32)  # lane-ordered
 
     cnt2 = cntmap.reshape(HP, G)

@@ -253,3 +253,177 @@ def decode_lane_sharded(hf, mesh: Mesh | None = None,
         raise RuntimeError(
             f"emitted {out.size} symbols, header says {hf.uncompressed_size}")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Widescan shard bodies: the round-2 fused decoder (ops/pallas_widescan)
+# sharded over the lane axis — per-shard K1 chunked scans, the same tiny
+# exit-map all_gather as above, then local fix-splice + dense compaction,
+# so the multi-chip path produces dense bytes per shard.
+
+
+def _wide_shard_body(bits2_loc, tabq, lim_loc, *, plan, H, md, C0, C1,
+                     Gl, D, axis, NGl, Rgl, interpret):
+    from huffmandecoderongpus_tpu.ops import pallas_widescan as ws
+
+    p = plan
+    Rl = Gl // 128
+    sym, val, cntmap, exmap, mrowmap = ws.k1_scan2(
+        bits2_loc, tabq, lim_loc, B=p["B"], H=H, G=Gl, steps=p["steps"],
+        steps_p=p["steps_p"], SEG=p["SEG"], UNROLL=p["UNROLL"], md=md,
+        C0=C0, C1=C1, RB=min(p["RB"], Rl), interpret=interpret)
+    HP = cntmap.shape[0]
+    cnt2 = cntmap.reshape(HP, Gl)
+    mrow2 = mrowmap.reshape(HP, Gl)
+
+    def to_k2(m):
+        m2 = m.reshape(HP, Gl).T.reshape(NGl, Rgl, HP).transpose(1, 0, 2)
+        return jnp.pad(m2, ((0, 0), (0, 0), (0, 128 - HP)))
+
+    ex3 = to_k2(exmap)
+    # pre-collective: the shard's composite exit map (exit offset for
+    # each possible shard-entry); one tiny all_gather + a D-step serial
+    # fold finds every shard's true entry — the same role as the
+    # reference's per-level host readback, in one collective
+    _, tot = ws.k2_compose(ex3, jnp.zeros((1, 1), jnp.int32),
+                           Rg=Rgl, NG=NGl, interpret=interpret)
+    tot_i = tot[0].astype(jnp.int32)
+    all_tot = jax.lax.all_gather(tot_i, axis)  # (D, 128)
+    d = jax.lax.axis_index(axis).astype(jnp.int32)
+
+    def comp(k, carry):
+        e, my_e = carry
+        my_e = jnp.where(k == d, e, my_e)
+        return all_tot[k, e], my_e
+
+    _, my_e = jax.lax.fori_loop(0, D, comp, (jnp.int32(0), jnp.int32(0)))
+
+    # post-collective: per-lane entries seeded at the shard's true entry
+    ent3, _ = ws.k2_compose(ex3, my_e.reshape(1, 1).astype(jnp.int32),
+                            Rg=Rgl, NG=NGl, interpret=interpret)
+    entry = ent3[:, :, 0].T.reshape(Gl).astype(jnp.int32)
+
+    mrow_sel = jnp.broadcast_to(mrow2[0], entry.shape)
+    for h in range(1, HP):
+        mrow_sel = jnp.where(entry == h, mrow2[h], mrow_sel)
+    n = jnp.broadcast_to(cnt2[0], entry.shape)
+    for h in range(1, HP):
+        n = jnp.where(entry == h, cnt2[h], n)
+    total = jax.lax.psum(jnp.sum(n), axis)
+    lim_flat = lim_loc.reshape(Gl)
+    cut = jnp.where(entry == 0, 0, mrow_sel + 1)
+    cut = jnp.where(lim_flat > 0, cut, 0)
+    cut_slot = jnp.where(cut > 0, (cut - 1) // md + 1, 0)
+
+    msym, mval = ws.k3_fix2(
+        bits2_loc, tabq, entry.reshape(Rl, 128), cut.reshape(Rl, 128),
+        cut_slot.reshape(Rl, 128), sym, val, G=Gl, steps_p=p["steps_p"],
+        SEG=p["SEG"], UNROLL=p["UNROLL"], md=md, C0=C0, C1=C1,
+        interpret=interpret)
+    denseT = ws.k4_compact(msym, mval, G=Gl, slots_p=p["steps_p"] // md,
+                           ORP=p["ORP"], interpret=interpret)
+    return denseT, n, total[None]
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_wide(mesh: Mesh, axis: str, plan_items, H: int, md: int,
+                   C0: int, C1: int, Gl: int, D: int, interpret: bool):
+    plan = dict(plan_items)
+    # composition group split for the per-shard K2 (same rule as _plan)
+    NGl = 1 << ((Gl // 128).bit_length() // 2 + 3)
+    NGl = min(NGl, Gl)
+    Rgl = Gl // NGl
+    body = functools.partial(_wide_shard_body, plan=plan, H=H, md=md,
+                             C0=C0, C1=C1, Gl=Gl, D=D, axis=axis,
+                             NGl=NGl, Rgl=Rgl, interpret=interpret)
+    # check_vma off: the Pallas-call-in-shard_map vma limitation (see
+    # _compiled above)
+    mapped = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, axis, None), P(), P(axis, None)),
+        out_specs=(P(axis, None), P(axis), P(axis)),
+        check_vma=False)
+    return jax.jit(mapped)
+
+
+def lane_sharded_wide_runner(hf, mesh: Mesh | None = None,
+                             lanes: int | None = None,
+                             interpret: bool | None = None):
+    """Stage the widescan-sharded decode; returns ``(run, materialize)``.
+
+    Requires a tree the widescan program supports (<= 127 states, min
+    code length >= 2 with chunk-friendly geometry) — callers fall back
+    to ``lane_sharded_runner`` otherwise (ValueError)."""
+    from huffmandecoderongpus_tpu.ops import pallas_widescan as ws
+    from huffmandecoderongpus_tpu.ops.lanedfa import build_lane_dfa
+
+    if mesh is None:
+        mesh = make_mesh()
+    D = int(mesh.devices.size)
+    dfa = build_lane_dfa(hf.tree)
+    H = max(dfa.height, 1)
+    md = max(dfa.min_depth, 1)
+    if dfa.entry.shape[0] // 2 > ws.MAX_STATES:
+        raise ValueError("tree exceeds the widescan state limit")
+    avg = hf.bits / max(hf.uncompressed_size, 1)
+    p = ws._plan(hf.bits, H, md, lanes=lanes, avg_len=avg)
+    if not (md >= 2 and p["UNROLL"] % 2 == 0 and p["SEG"] % 2 == 0):
+        raise ValueError("tree/geometry not chunk2-eligible")
+    G = p["G"]
+    G = -(-G // (128 * D)) * 128 * D  # whole 128-lane rows per shard
+    if G != p["G"]:
+        p = dict(p)
+        # re-derive the per-lane geometry for the padded lane count
+        p2 = ws._plan(hf.bits, H, md, lanes=G, avg_len=avg)
+        p.update(p2)
+    Gl = G // D
+    if interpret is None:
+        interpret = mesh.devices.flat[0].platform != "tpu"
+    tabq, C0, C1 = ws.pack_quad_tables(dfa)
+    mat = ws.bits2_matrix(hf.payload, hf.bits, G, p["B"], p["steps_p"])
+    lane = np.arange(G, dtype=np.int64).reshape(G // 128, 128)
+    lim2 = np.clip(hf.bits - lane * p["B"], -(1 << 30),
+                   1 << 30).astype(np.int32)
+    fn = _compiled_wide(mesh, BLOCK_AXIS, tuple(sorted(p.items())), H, md,
+                        C0, C1, Gl, D, interpret)
+    b2 = jnp.asarray(mat)
+    tq = jnp.asarray(tabq)
+    l2 = jnp.asarray(lim2)
+    ORP = p["ORP"]
+
+    def run():
+        return fn(b2, tq, l2)
+
+    def materialize(out):
+        denseT, n, total = out
+        dense = np.asarray(denseT)
+        counts = np.asarray(n)
+        if counts.max(initial=0) > ORP:
+            raise OverflowError("a lane overflowed the dense buffer")
+        mask = np.arange(ORP)[None, :] < counts[:, None]
+        return dense[mask], int(np.asarray(total)[0])
+
+    return run, materialize
+
+
+def decode_lane_sharded_wide(hf, mesh: Mesh | None = None,
+                             lanes: int | None = None,
+                             check_size: bool = True,
+                             interpret: bool | None = None) -> np.ndarray:
+    """Widescan decode with lanes sharded over a device mesh: dense bytes
+    come back per shard; falls back to ``decode_lane_sharded`` when the
+    tree is outside the widescan envelope or a lane overflows."""
+    try:
+        run, materialize = lane_sharded_wide_runner(
+            hf, mesh=mesh, lanes=lanes, interpret=interpret)
+        out, total = materialize(run())
+    except (ValueError, OverflowError):
+        return decode_lane_sharded(hf, mesh=mesh, lanes=lanes,
+                                   check_size=check_size)
+    if check_size and total != hf.uncompressed_size:
+        raise RuntimeError(
+            f"decoded {total} symbols, header says {hf.uncompressed_size}")
+    if check_size and out.size != hf.uncompressed_size:
+        raise RuntimeError(
+            f"emitted {out.size} symbols, header says {hf.uncompressed_size}")
+    return out

@@ -138,3 +138,21 @@ def test_lane_sharded_pallas_interpret(paper1):
     out = decode_lane_sharded(paper1.cd, mesh=make_mesh(2), lanes=2048,
                               use_pallas=True)
     np.testing.assert_array_equal(out, paper1.ucd)
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_lane_sharded_wide_paper1(paper1, n_dev):
+    # widescan shard bodies (chunked Pallas kernels, interpret on CPU):
+    # dense bytes come back sharded and must splice to the exact corpus
+    from huffmandecoderongpus_tpu.parallel import decode_lane_sharded_wide
+
+    out = decode_lane_sharded_wide(paper1.cd, mesh=make_mesh(n_dev),
+                                   lanes=1024)
+    np.testing.assert_array_equal(out, paper1.ucd)
+
+
+def test_lane_sharded_wide_registry_fallback(hello):
+    # hello is far below the widescan envelope: the registry entry must
+    # fall back to the XLA lane_sharded path and still be exact
+    out = get_decoder("lane_sharded_wide")(hello.cd)
+    np.testing.assert_array_equal(out, hello.ucd)
