@@ -32,11 +32,14 @@ def scaling_sweep(hf, ucd: np.ndarray | None = None, sizes=None,
     ``path="lane"`` (default) drives decode_lane_sharded — the multi-chip
     performance path (round-1 swept the speculative block decoder, which
     is gather-cliff-bound on TPU and said nothing about the perf path);
+    ``path="wide"`` drives the round-2 widescan shard bodies (Mosaic
+    kernels — meaningful on TPU meshes, interpret-mode-slow on CPU);
     ``path="block"`` keeps the reference-shaped speculative pipeline."""
     import jax
 
     from huffmandecoderongpus_tpu.parallel import (
-        decode_sharded, lane_sharded_runner, make_mesh)
+        decode_sharded, lane_sharded_runner, lane_sharded_wide_runner,
+        make_mesh)
 
     n_dev = len(jax.devices())
     if sizes is None:
@@ -45,10 +48,12 @@ def scaling_sweep(hf, ucd: np.ndarray | None = None, sizes=None,
     base = None
     for n in sizes:
         mesh = make_mesh(n)
-        if path == "lane":
+        if path in ("lane", "wide"):
             # stage inputs once; time only the sharded device program
             # (scans + stitching collective), not host prep/compaction
-            run, materialize = lane_sharded_runner(hf, mesh=mesh)
+            runner = (lane_sharded_wide_runner if path == "wide"
+                      else lane_sharded_runner)
+            run, materialize = runner(hf, mesh=mesh)
             out, total = materialize(run())  # compile + warm + verify
             if total != hf.uncompressed_size:
                 raise RuntimeError(f"wrong size at {n} devices: {total}")

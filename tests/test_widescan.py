@@ -153,3 +153,19 @@ def test_widescan_odd_md_chunked(paper1):
     assert p["UNROLL"] % 2 == 0  # chunk2-eligible geometry
     out = decode_widescan(hf, lanes=1024, interpret=True)
     np.testing.assert_array_equal(out, raw)
+
+
+def test_widescan_phase_locked_runs(rng):
+    # adversarial self-sync case: long periodic 'abab' runs phase-lock
+    # wrong-parity candidate chains, deferring merges for hundreds of
+    # bits — exercises the candidate late-exit resolution and the
+    # adaptive full-length fix scan in the chunked kernels
+    base = np.tile(np.array([97, 98, 99, 100], dtype=np.uint8), 15000)
+    rare = rng.integers(0, 60000, size=60)
+    data = base.copy()
+    data[rare] = rng.choice(np.array([101, 102], dtype=np.uint8), size=60)
+    hf = encode_bytes(data)
+    dfa = build_lane_dfa(hf.tree)
+    assert dfa.min_depth >= 2
+    out = decode_widescan(hf, lanes=1024, interpret=True)
+    np.testing.assert_array_equal(out, data)
