@@ -75,48 +75,29 @@ def _wide_candidate(td):
     per-lane counts in HBM are the timed unit; the host only trims by the
     counts (matches the reference timing through result readback,
     openclapproach.c:990-1015, modulo this environment's relay)."""
-    import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from huffmandecoderongpus_tpu.ops import pallas_widescan as ws
-    from huffmandecoderongpus_tpu.ops.lanedfa import build_lane_dfa
 
     hf = td.cd
-    dfa = build_lane_dfa(hf.tree)
-    if dfa.entry.shape[0] // 2 > ws.MAX_STATES:
-        raise RuntimeError("tree exceeds the paired-table state limit")
-    H = max(dfa.height, 1)
-    md = max(dfa.min_depth, 1)
-    avg = hf.bits / max(hf.uncompressed_size, 1)
-    p = ws._plan(hf.bits, H, md, avg_len=avg)
-    G = p["G"]
-    chunk2 = md >= 2 and p["UNROLL"] % 2 == 0 and p["SEG"] % 2 == 0
-    C0 = C1 = 0
-    if chunk2:
-        tabq, C0, C1 = ws.pack_quad_tables(dfa)
-        tabw = jnp.asarray(tabq)
-        mat = ws.bits2_matrix(hf.payload, hf.bits, G, p["B"], p["steps_p"])
-    else:
-        tabw = jnp.asarray(ws.pack_pair_table(dfa))
-        mat = ws.bits3_matrix(hf.payload, hf.bits, G, p["B"], p["steps_p"])
-    bits3 = jnp.asarray(mat)
-    lane = np.arange(G, dtype=np.int64).reshape(G // 128, 128)
-    lim2 = jnp.asarray(np.clip(hf.bits - lane * p["B"], -(1 << 30),
-                               1 << 30).astype(np.int32))
+    st = ws.stage_widescan_inputs(hf)  # EnvelopeError -> candidate skipped
+    p = st["plan"]
 
     def run():
         denseT, n, total, fence = ws.wide_decode_program(
-            bits3, tabw, lim2, B=p["B"], H=H, G=G, steps=p["steps"],
-            steps_p=p["steps_p"], SEG=p["SEG"], UNROLL=p["UNROLL"], md=md,
-            Rg=p["Rg"], NG=p["NG"], ORP=p["ORP"], RB=p["RB"], C0=C0, C1=C1,
-            chunk2=chunk2)
+            st["bits"], st["tabw"], st["lim2"], B=p["B"], H=st["H"],
+            G=p["G"], steps=p["steps"], steps_p=p["steps_p"], SEG=p["SEG"],
+            UNROLL=p["UNROLL"], md=st["md"], Rg=p["Rg"], NG=p["NG"],
+            ORP=p["ORP"], RB=p["RB"], C0=st["C0"], C1=st["C1"],
+            chunk2=st["chunk2"])
         return fence, (denseT, n)
 
     def materialize(out):
         denseT, n = out
         dense = np.asarray(denseT)
         counts = np.asarray(n)
+        if counts.max(initial=0) > p["ORP"]:
+            raise RuntimeError("a lane overflowed the dense buffer")
         mask = np.arange(p["ORP"])[None, :] < counts[:, None]
         return dense[mask]
 

@@ -105,7 +105,8 @@ def find_index(huff_path, *, bits: int | None = None,
         return None
     try:
         offsets, k, crc = read_index(p)
-    except ValueError:
+    except (ValueError, struct.error, OSError):
+        # truncated/corrupt/unreadable sidecar: degrade to discovery
         return None
     if payload is not None:
         want = payload_binding(bits, uncompressed_size, payload)

@@ -1173,8 +1173,10 @@ def _plan(bits: int, H: int, md: int, lanes=None, avg_len=None):
     else:
         # floor 512: Mosaic's lane-axis dynamic_gather mis-lowers at one
         # sublane row ("Shape mismatch in input, indices and output",
-        # v5e); 512 lanes (4 rows) is the smallest HW-validated geometry
-        G = max(512, int(lanes))
+        # v5e); 512 lanes (4 rows) is the smallest HW-validated geometry.
+        # Round up to a power of two so the kernels' row-group blocking
+        # (RB | R) and K4's 8-row tiling always divide evenly.
+        G = max(512, 1 << (max(int(lanes), 1) - 1).bit_length())
     B = -(-bits // G)
     B = -(-B // SEG) * SEG
     steps = B + H
@@ -1201,33 +1203,34 @@ def _plan(bits: int, H: int, md: int, lanes=None, avg_len=None):
                 UNROLL=UNROLL, NG=NG, Rg=Rg, ORP=ORP, RB=RB)
 
 
-def decode_widescan(hf, lanes=None, check_size=True, interpret=False):
-    """Wide-lane fused decode of a HuffFile to dense bytes.
 
-    Falls back to the round-1 Pallas path for tiny streams, >127-state
-    trees, or the (adversarial) deep-fix case flagged by the program."""
+
+class EnvelopeError(ValueError):
+    """The tree/geometry is outside the widescan program's envelope
+    (>127 states, md<2 without chunk-friendly fallback geometry, tiny
+    stream); callers fall back to another decoder."""
+
+
+def stage_widescan_inputs(hf, lanes=None):
+    """Build everything the fused program needs, once, host-side.
+
+    Returns a dict with the plan, chunk2 eligibility, packed tables
+    (device arrays), the bit matrix and per-lane limits.  Raises
+    EnvelopeError for trees the program cannot handle — the single
+    place the eligibility rules live (decode_widescan, bench.py and the
+    sharded runner all call this)."""
     from huffmandecoderongpus_tpu.ops.lanedfa import build_lane_dfa
 
     dfa = build_lane_dfa(hf.tree)
     H = max(dfa.height, 1)
     md = max(dfa.min_depth, 1)
-
-    def _fallback():
-        from huffmandecoderongpus_tpu.ops.pallas_lanedfa import (
-            decode_lanedfa_pallas,
-        )
-
-        return decode_lanedfa_pallas(hf, check_size=check_size,
-                                     interpret=interpret)
-
-    if hf.bits < 1024 * max(H, 8) or dfa.entry.shape[0] // 2 > MAX_STATES:
-        return _fallback()
-
+    if dfa.entry.shape[0] // 2 > MAX_STATES:
+        raise EnvelopeError("tree exceeds the paired-table state limit")
+    if hf.bits < 1024 * max(H, 8):
+        raise EnvelopeError("stream too small for the wide-lane program")
     avg = hf.bits / max(hf.uncompressed_size, 1)
     p = _plan(hf.bits, H, md, lanes=lanes, avg_len=avg)
     G = p["G"]
-    # 2-bit chunked scans need md >= 2 (one emission per chunk) and an
-    # even UNROLL/SEG; every shipped corpus tree qualifies
     chunk2 = md >= 2 and p["UNROLL"] % 2 == 0 and p["SEG"] % 2 == 0
     C0 = C1 = 0
     if chunk2:
@@ -1240,12 +1243,37 @@ def decode_widescan(hf, lanes=None, check_size=True, interpret=False):
     lane = np.arange(G, dtype=np.int64).reshape(G // 128, 128)
     lim2 = jnp.asarray(
         np.clip(hf.bits - lane * p["B"], -(1 << 30), 1 << 30).astype(np.int32))
+    return dict(plan=p, dfa=dfa, H=H, md=md, chunk2=chunk2, C0=C0, C1=C1,
+                tabw=tabw, bits=jnp.asarray(mat), lim2=lim2)
+
+
+def decode_widescan(hf, lanes=None, check_size=True, interpret=False):
+    """Wide-lane fused decode of a HuffFile to dense bytes.
+
+    Falls back to the round-1 Pallas path for tiny streams, >127-state
+    trees, or a lane overflowing the dense output buffer."""
+    def _fallback():
+        from huffmandecoderongpus_tpu.ops.pallas_lanedfa import (
+            decode_lanedfa_pallas,
+        )
+
+        return decode_lanedfa_pallas(hf, check_size=check_size,
+                                     interpret=interpret)
+
+    try:
+        st = stage_widescan_inputs(hf, lanes=lanes)
+    except EnvelopeError:
+        return _fallback()
+    p = st["plan"]
+    G = p["G"]
+    H, md = st["H"], st["md"]
 
     denseT, n, total, _fence = wide_decode_program(
-        jnp.asarray(mat), tabw, lim2, B=p["B"], H=H, G=G, steps=p["steps"],
-        steps_p=p["steps_p"], SEG=p["SEG"], UNROLL=p["UNROLL"], md=md,
-        Rg=p["Rg"], NG=p["NG"], ORP=p["ORP"], RB=p["RB"], C0=C0, C1=C1,
-        chunk2=chunk2, interpret=interpret)
+        st["bits"], st["tabw"], st["lim2"], B=p["B"], H=H, G=G,
+        steps=p["steps"], steps_p=p["steps_p"], SEG=p["SEG"],
+        UNROLL=p["UNROLL"], md=md, Rg=p["Rg"], NG=p["NG"], ORP=p["ORP"],
+        RB=p["RB"], C0=st["C0"], C1=st["C1"], chunk2=st["chunk2"],
+        interpret=interpret)
     if check_size and int(total) != hf.uncompressed_size:
         raise RuntimeError(
             f"decoded {int(total)} symbols, header says "

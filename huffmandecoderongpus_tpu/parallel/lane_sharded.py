@@ -303,12 +303,8 @@ def _wide_shard_body(bits2_loc, tabq, lim_loc, *, plan, H, md, C0, C1,
                             Rg=Rgl, NG=NGl, interpret=interpret)
     entry = ent3[:, :, 0].T.reshape(Gl).astype(jnp.int32)
 
-    mrow_sel = jnp.broadcast_to(mrow2[0], entry.shape)
-    for h in range(1, HP):
-        mrow_sel = jnp.where(entry == h, mrow2[h], mrow_sel)
-    n = jnp.broadcast_to(cnt2[0], entry.shape)
-    for h in range(1, HP):
-        n = jnp.where(entry == h, cnt2[h], n)
+    mrow_sel = ws._select_h(mrow2, entry, HP)
+    n = ws._select_h(cnt2, entry, HP)
     total = jax.lax.psum(jnp.sum(n), axis)
     lim_flat = lim_loc.reshape(Gl)
     cut = jnp.where(entry == 0, 0, mrow_sel + 1)
@@ -322,7 +318,11 @@ def _wide_shard_body(bits2_loc, tabq, lim_loc, *, plan, H, md, C0, C1,
         interpret=interpret)
     denseT = ws.k4_compact(msym, mval, G=Gl, slots_p=p["steps_p"] // md,
                            ORP=p["ORP"], interpret=interpret)
-    return denseT, n, total[None]
+    # fence: data-dependent on the LAST kernel so a 1-element readback
+    # brackets the whole shard program (the relay's block_until_ready
+    # can return early; cf. wide_decode_program's fence)
+    fence = total + denseT[0, 0].astype(jnp.int32)
+    return denseT, n, total[None], fence[None]
 
 
 @functools.lru_cache(maxsize=32)
@@ -341,7 +341,7 @@ def _compiled_wide(mesh: Mesh, axis: str, plan_items, H: int, md: int,
     mapped = shard_map(
         body, mesh=mesh,
         in_specs=(P(None, axis, None), P(), P(axis, None)),
-        out_specs=(P(axis, None), P(axis), P(axis)),
+        out_specs=(P(axis, None), P(axis), P(axis), P(axis)),
         check_vma=False)
     return jax.jit(mapped)
 
@@ -351,51 +351,48 @@ def lane_sharded_wide_runner(hf, mesh: Mesh | None = None,
                              interpret: bool | None = None):
     """Stage the widescan-sharded decode; returns ``(run, materialize)``.
 
-    Requires a tree the widescan program supports (<= 127 states, min
-    code length >= 2 with chunk-friendly geometry) — callers fall back
-    to ``lane_sharded_runner`` otherwise (ValueError)."""
+    Requires a tree inside the widescan chunked envelope (<= 127 states,
+    min code length >= 2 with chunk-friendly geometry) — callers fall
+    back to ``lane_sharded_runner`` on ``EnvelopeError``."""
     from huffmandecoderongpus_tpu.ops import pallas_widescan as ws
-    from huffmandecoderongpus_tpu.ops.lanedfa import build_lane_dfa
 
     if mesh is None:
         mesh = make_mesh()
     D = int(mesh.devices.size)
-    dfa = build_lane_dfa(hf.tree)
-    H = max(dfa.height, 1)
-    md = max(dfa.min_depth, 1)
-    if dfa.entry.shape[0] // 2 > ws.MAX_STATES:
-        raise ValueError("tree exceeds the widescan state limit")
-    avg = hf.bits / max(hf.uncompressed_size, 1)
-    p = ws._plan(hf.bits, H, md, lanes=lanes, avg_len=avg)
-    if not (md >= 2 and p["UNROLL"] % 2 == 0 and p["SEG"] % 2 == 0):
-        raise ValueError("tree/geometry not chunk2-eligible")
-    G = p["G"]
-    G = -(-G // (128 * D)) * 128 * D  # whole 128-lane rows per shard
-    if G != p["G"]:
-        p = dict(p)
-        # re-derive the per-lane geometry for the padded lane count
-        p2 = ws._plan(hf.bits, H, md, lanes=G, avg_len=avg)
-        p.update(p2)
+    # per-shard lane count floored at 512 (4 sublane rows): the smallest
+    # geometry whose Mosaic gathers are HW-validated (dynamic_gather
+    # mis-lowers below that; see pallas_widescan._plan)
+    st = ws.stage_widescan_inputs(hf, lanes=lanes)
+    if not st["chunk2"]:
+        raise ws.EnvelopeError("tree/geometry not chunk2-eligible")
+    G0 = st["plan"]["G"]
+    G = -(-max(G0, 512 * D) // (128 * D)) * 128 * D
+    if G != G0:
+        st = ws.stage_widescan_inputs(hf, lanes=G)
+        G = st["plan"]["G"]  # pow2-rounded up by _plan
+        if G % (128 * D):
+            # pow2 lane counts divide pow2 meshes; reject others
+            raise ws.EnvelopeError(
+                f"lane count {G} not divisible over {D} shards")
+        if not st["chunk2"]:
+            raise ws.EnvelopeError("tree/geometry not chunk2-eligible")
+    p = st["plan"]
     Gl = G // D
+    if Gl < 512:
+        raise ws.EnvelopeError("fewer than 512 lanes per shard")
     if interpret is None:
         interpret = mesh.devices.flat[0].platform != "tpu"
-    tabq, C0, C1 = ws.pack_quad_tables(dfa)
-    mat = ws.bits2_matrix(hf.payload, hf.bits, G, p["B"], p["steps_p"])
-    lane = np.arange(G, dtype=np.int64).reshape(G // 128, 128)
-    lim2 = np.clip(hf.bits - lane * p["B"], -(1 << 30),
-                   1 << 30).astype(np.int32)
-    fn = _compiled_wide(mesh, BLOCK_AXIS, tuple(sorted(p.items())), H, md,
-                        C0, C1, Gl, D, interpret)
-    b2 = jnp.asarray(mat)
-    tq = jnp.asarray(tabq)
-    l2 = jnp.asarray(lim2)
+    fn = _compiled_wide(mesh, BLOCK_AXIS, tuple(sorted(p.items())),
+                        st["H"], st["md"], st["C0"], st["C1"], Gl, D,
+                        interpret)
+    b2, tq, l2 = st["bits"], st["tabw"], st["lim2"]
     ORP = p["ORP"]
 
     def run():
         return fn(b2, tq, l2)
 
     def materialize(out):
-        denseT, n, total = out
+        denseT, n, total, _fence = out
         dense = np.asarray(denseT)
         counts = np.asarray(n)
         if counts.max(initial=0) > ORP:
@@ -413,11 +410,13 @@ def decode_lane_sharded_wide(hf, mesh: Mesh | None = None,
     """Widescan decode with lanes sharded over a device mesh: dense bytes
     come back per shard; falls back to ``decode_lane_sharded`` when the
     tree is outside the widescan envelope or a lane overflows."""
+    from huffmandecoderongpus_tpu.ops.pallas_widescan import EnvelopeError
+
     try:
         run, materialize = lane_sharded_wide_runner(
             hf, mesh=mesh, lanes=lanes, interpret=interpret)
         out, total = materialize(run())
-    except (ValueError, OverflowError):
+    except (EnvelopeError, OverflowError):
         return decode_lane_sharded(hf, mesh=mesh, lanes=lanes,
                                    check_size=check_size)
     if check_size and total != hf.uncompressed_size:

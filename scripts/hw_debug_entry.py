@@ -37,10 +37,10 @@ def main():
               SEG=p["SEG"], UNROLL=p["UNROLL"], md=md)
     sym, val, cntmap, exmap, mrowmap = ws.k1_scan(bits3, tabw, lim2, **kw)
     HP = cntmap.shape[0]
-    ent3 = ws.k2_compose(
+    ent3, _tot = ws.k2_compose(
         jnp.pad(exmap.reshape(HP, G).T.reshape(p["NG"], p["Rg"], HP)
                 .transpose(1, 0, 2), ((0, 0), (0, 0), (0, 128 - HP))),
-        Rg=p["Rg"], NG=p["NG"])
+        jnp.zeros((1, 1), jnp.int32), Rg=p["Rg"], NG=p["NG"])
     entry = np.asarray(ent3[:, :, 0].T.reshape(G)).astype(np.int64)
     cnt2 = np.asarray(cntmap).reshape(HP, G)
     ex2 = np.asarray(exmap).reshape(HP, G)
@@ -73,7 +73,7 @@ def main():
     print(f"exit-map mismatches at true entries: {xm.sum()} "
           f"first {np.nonzero(xm)[0][:8]}", flush=True)
     mr = mrow2[entX[:n_live], gl]
-    deep = (entX[:n_live] != 0) & (mr + 1 > p["FIX_ROWS"])
+    deep = (entX[:n_live] != 0) & (mr + 1 > p["steps_p"])
     print(f"legit deep-cut lanes: {deep.sum()} "
           f"(mrow quantiles {np.percentile(mr[entX[:n_live] != 0], [50, 95, 99.9]) if (entX[:n_live] != 0).any() else '-'})",
           flush=True)

@@ -117,3 +117,20 @@ def test_last_partial_block(rng):
     hf = encode_bytes(raw, block_symbols=1024)
     out = decode_lanedfa_indexed(hf, *hf.index)
     np.testing.assert_array_equal(out, raw)
+
+
+def test_truncated_sidecar_falls_back(tmp_path, rng):
+    # a sidecar with valid magic but a short header must degrade to
+    # discovery (struct.error is not a ValueError)
+    import numpy as np
+
+    from huffmandecoderongpus_tpu.huffio import encode_bytes
+    from huffmandecoderongpus_tpu.huffio.format import read_huff, write_huff
+
+    raw = rng.integers(0, 200, size=30000, dtype=np.uint8)
+    hf = encode_bytes(raw)
+    hp = tmp_path / "x.huff"
+    write_huff(hp, hf)
+    (tmp_path / "x.huffidx").write_bytes(b"HIDX\x01\x00")
+    hf2 = read_huff(hp)
+    assert getattr(hf2, "index", None) is None
