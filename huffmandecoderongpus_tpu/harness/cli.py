@@ -196,6 +196,9 @@ def main(argv=None) -> None:
     p.add_argument("--decoder", default="simple", help="decoder name for `decode`")
     p.add_argument("--index", type=int, metavar="K", default=None,
                    help="encode: also write a .huffidx sidecar every K symbols")
+    p.add_argument("--device", action="store_true",
+                   help="encode: run the pack/compaction on device "
+                        "(ops/pallas_encode Mosaic kernels)")
     ns = p.parse_args(argv)
 
     if ns.test == "encode":
@@ -204,7 +207,19 @@ def main(argv=None) -> None:
         src = ns.args[0]
         dst = ns.args[1] if len(ns.args) > 1 else src + ".huff"
         raw = np.fromfile(src, dtype=np.uint8)
-        hf = encode_bytes(raw, block_symbols=ns.index)
+        if ns.device:
+            # device encoder (byte-identical payloads; falls back to the
+            # host path for tiny inputs / >26-bit codes)
+            import dataclasses
+
+            from huffmandecoderongpus_tpu.ops.pallas_encode import encode_pallas
+
+            hf = encode_pallas(raw)
+            if ns.index:
+                hf2 = encode_bytes(raw, tree=hf.tree, block_symbols=ns.index)
+                hf = dataclasses.replace(hf, index=hf2.index)
+        else:
+            hf = encode_bytes(raw, block_symbols=ns.index)
         write_huff(dst, hf)
         if hf.index is not None:
             from huffmandecoderongpus_tpu.huffio.sidecar import index_path, write_index

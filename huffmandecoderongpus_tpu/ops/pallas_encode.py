@@ -288,7 +288,7 @@ def place_lanes(shifted: np.ndarray, shift: np.ndarray,
 
 
 def encode_pallas(data, tree: np.ndarray | None = None, lanes=None,
-                  interpret=False):
+                  interpret=None):
     """Device-encode bytes into a reference-format HuffFile.
 
     Pack, compaction, and phase shift run on device; the host does a
@@ -299,6 +299,8 @@ def encode_pallas(data, tree: np.ndarray | None = None, lanes=None,
     from huffmandecoderongpus_tpu.huffio.format import HuffFile
     from huffmandecoderongpus_tpu.huffio.tree import build_tree, tree_codes
 
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
     arr = np.frombuffer(bytes(data), dtype=np.uint8) if isinstance(
         data, (bytes, bytearray, memoryview)) else np.ascontiguousarray(
             data, dtype=np.uint8)
