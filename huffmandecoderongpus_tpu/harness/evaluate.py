@@ -111,14 +111,21 @@ def evaluate(decoder, td, withcheck: bool = True, repeats: int = REPEATS,
             raise DecodeMismatch(f"problem with: {name} on {td.name}")
 
     if budget_s is not None and repeats > 0:
-        # budget from a post-compile run: the verify run carries jit
-        # compile time and would starve fast jitted decoders of samples
-        t.start()
-        decoder(td.cd, param)
-        t.stop()
-        times.append(t.seconds)
-        repeats = max(0, min(repeats - 1,
-                             int(budget_s / max(times[-1], 1e-9))))
+        if times[0] > budget_s:
+            # the verify run alone blew the budget (e.g. the numpy
+            # reference pipeline on kjv): its time IS the sample —
+            # don't pay for a second run that cannot fit either
+            repeats = 0
+        else:
+            # budget from a post-compile run: the verify run carries
+            # jit compile time and would starve fast jitted decoders
+            # of samples
+            t.start()
+            decoder(td.cd, param)
+            t.stop()
+            times.append(t.seconds)
+            repeats = max(0, min(repeats - 1,
+                                 int(budget_s / max(times[-1], 1e-9))))
 
     for _ in range(repeats):
         t.start()
