@@ -847,7 +847,6 @@ def _k3_kernel2(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
     R = G // 128
     s = pl.program_id(0)
     slots_seg = SEG // md
-    n_slots_seg = slots_seg
     tb0 = jnp.broadcast_to(tab_ref[0:1, :], (R, 128))
     tb1 = jnp.broadcast_to(tab_ref[1:2, :], (R, 128))
 
@@ -912,7 +911,7 @@ def _k3_kernel2(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
 
     @pl.when(~gated)
     def _copy():
-        for sl in range(n_slots_seg):
+        for sl in range(slots_seg):
             sym_ref[sl] = symin_ref[sl]
             val_ref[sl] = valin_ref[sl]
 
