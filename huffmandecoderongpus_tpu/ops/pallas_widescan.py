@@ -372,7 +372,10 @@ def pack_quad_tables(dfa: LaneDFA):
         if ent[b] & EMIT_BIT:
             raise ValueError("md < 2: root child is a leaf")
         C.append(int(ent[b] & STATE_MASK))
-    out = np.zeros((2, 128), dtype=np.int32)
+    # accumulate in int64: a sym >= 128 entry in the high half-word sets
+    # bit 31 (would overflow a python-int -> int32 store); the final
+    # astype wraps to the int32 bit pattern the kernel expects
+    out = np.zeros((2, 128), dtype=np.int64)
     for st in range(n_states):
         for b0 in (0, 1):
             e0 = ent[2 * st + b0]
@@ -387,7 +390,7 @@ def pack_quad_tables(dfa: LaneDFA):
                     else:
                         e16 = int(e1 & STATE_MASK)
                 out[b0, st] |= e16 << (16 * b1)
-    return out, C[0], C[1]
+    return out.astype(np.uint32).view(np.int32), C[0], C[1]
 
 
 def bits2_matrix(payload: np.ndarray, bits: int, G: int, B: int,

@@ -169,3 +169,15 @@ def test_widescan_phase_locked_runs(rng):
     assert dfa.min_depth >= 2
     out = decode_widescan(hf, lanes=1024, interpret=True)
     np.testing.assert_array_equal(out, data)
+
+
+def test_widescan_high_symbols(rng):
+    # symbols >= 128 put the sign bit in the quad table's high half-word
+    # (pack_quad_tables once overflowed the int32 store; corpus files are
+    # ASCII so only synthetic data covers this)
+    alpha = np.arange(200, 256, dtype=np.uint8)
+    w = rng.random(alpha.size) ** 2
+    raw = rng.choice(alpha, size=40000, p=w / w.sum()).astype(np.uint8)
+    hf = encode_bytes(raw)
+    out = decode_widescan(hf, lanes=1024, interpret=True)
+    np.testing.assert_array_equal(out, raw)
