@@ -12,6 +12,10 @@ import hashlib
 import os
 import sys
 
+# Python puts this script's directory (tests/) on sys.path, not the repo
+# root; make the package importable even when it isn't pip-installed.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main() -> None:
     coordinator, num, pid, name = sys.argv[1:5]
