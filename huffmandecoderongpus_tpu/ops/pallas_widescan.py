@@ -44,13 +44,18 @@ kernels inside one XLA program:
       window cannot be statically bounded) and the fixed rows are
       spliced into the main scan's sym/val slot arrays *in place*
       (aliased outputs), so no XLA pass touches the full-size emissions.
-  K4  compaction: per-lane slot emissions -> per-lane *dense* symbol
-      prefixes + counts; the lane transpose runs in-kernel (Mosaic
-      lowers 2D transposes natively), then per-128-slot-window
-      binary-search gathers (Mosaic's dynamic_gather is lane-axis,
-      width-128 only) and a window-select merge by global rank.  The
-      benchmarked decode therefore ends with dense bytes + counts in
-      HBM; the host only trims/concatenates.
+  K4  compaction: per-lane CELL-packed emissions -> per-lane *dense*
+      symbol prefixes + counts.  The scans store 4 slots per int32
+      "cell" (a symbol byte per slot + a u8 valid nibble), shrinking
+      the compaction search space and the valid-mask HBM traffic 4x at
+      zero scan cost; the lane transpose runs in-kernel (Mosaic lowers
+      2D transposes natively), a popcount prefix sum runs per 128-cell
+      window, and each output rank resolves directly — per-lane window
+      select, 7-step binary-search gather (Mosaic's dynamic_gather is
+      lane-axis, width-128 only), nibble-popcount byte select — with
+      no separate window-merge stage.  The benchmarked decode
+      therefore ends with dense bytes + counts in HBM; the host only
+      trims/concatenates.
 
 Reference semantics covered: decode-from-every-bit + combine
 (/root/reference/framework/pes.c:30-104) with the per-level host readback
@@ -71,6 +76,12 @@ from huffmandecoderongpus_tpu.ops.lanedfa import EMIT_BIT, STATE_MASK, LaneDFA
 
 MAX_STATES = 127  # paired-table limit: state field is 7 bits
 PAD_BIT = 2  # bits3 value marking "past stream end" (kills emissions)
+# Emissions are stored packed CELL slots per int32 "cell": byte cs of the
+# cell word is the symbol of slot 4*cell+cs and a u8 nibble carries the
+# per-slot valid bits.  _plan guarantees every kernel body covers whole
+# cells (UNROLL/md is 4 or 8); the packing shrinks K4's compaction search
+# space and the valid-mask HBM traffic 4x at zero extra scan cost.
+CELL = 4
 
 
 # ---------------------------------------------------------------------------
@@ -157,32 +168,37 @@ def _k1_kernel(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
     def main_block(track_exit, store_scr):
         def body(i, carry):
             node, cnt, done, ex0 = carry
-            for grp in range(UNROLL // md):
-                sacc = jnp.zeros((R, 128), jnp.uint8)
-                vacc = jnp.zeros((R, 128), jnp.int32)
-                for u in range(md):
-                    lj = i * UNROLL + grp * md + u
-                    j = s * SEG + lj
-                    b = bits_ref[lj].astype(jnp.int32)
-                    w = jnp.take_along_axis(tab_bc, node, axis=1)
-                    e = (w >> ((b & 1) << 4)) & 0xFFFF
-                    e = jnp.where(b >= PAD_BIT, 0, e)
-                    node = e & 127
-                    emit1 = (e >> 7) & 1
-                    if track_exit:
-                        emit1 = emit1 * (1 - done)
-                        exiting = emit1 * jnp.where(j + 1 >= B, 1, 0)
-                        ex0 = jnp.where(exiting > 0, j + 1 - B, ex0)
-                        done = done | exiting
-                    cnt = cnt + emit1
-                    if store_scr:
-                        v_scr[lj] = emit1
-                        cum_scr[lj] = cnt
-                    sacc = sacc | (e >> 8).astype(jnp.uint8)
-                    vacc = vacc | emit1
-                sl = (i * UNROLL + grp * md) // md
-                sym_ref[sl] = sacc
-                val_ref[sl] = vacc.astype(jnp.uint8)
+            for tc in range(UNROLL // md // CELL):
+                cacc = jnp.zeros((R, 128), jnp.int32)
+                nacc = jnp.zeros((R, 128), jnp.int32)
+                for cs in range(CELL):
+                    for u in range(md):
+                        lj = i * UNROLL + (tc * CELL + cs) * md + u
+                        j = s * SEG + lj
+                        b = bits_ref[lj].astype(jnp.int32)
+                        w = jnp.take_along_axis(tab_bc, node, axis=1)
+                        e = (w >> ((b & 1) << 4)) & 0xFFFF
+                        e = jnp.where(b >= PAD_BIT, 0, e)
+                        node = e & 127
+                        emit1 = (e >> 7) & 1
+                        if track_exit:
+                            emit1 = emit1 * (1 - done)
+                            exiting = emit1 * jnp.where(j + 1 >= B, 1, 0)
+                            ex0 = jnp.where(exiting > 0, j + 1 - B, ex0)
+                            done = done | exiting
+                        cnt = cnt + emit1
+                        if store_scr:
+                            v_scr[lj] = emit1
+                            cum_scr[lj] = cnt
+                        # non-emitting entries have sym == 0, so the cell
+                        # word accumulates by OR; byte cs of the cell is
+                        # slot tc*CELL+cs (sym >= 128 at cs == 3 wraps
+                        # into the sign bit — K4 masks after the shift)
+                        cacc = cacc | ((e >> 8) << (8 * cs))
+                        nacc = nacc | (emit1 << cs)
+                cl = (i * UNROLL // md) // CELL + tc
+                sym_ref[cl] = cacc
+                val_ref[cl] = nacc.astype(jnp.uint8)
             return node, cnt, done, ex0
 
         out = jax.lax.fori_loop(
@@ -287,8 +303,10 @@ def k1_scan(bits3, tabw, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL, md,
     S = steps_p // SEG
     CH = max(H - 1, 1)
     HP = -(-(CH + 1) // 8) * 8
-    slots_seg = SEG // md
-    slots_p = steps_p // md
+    if (UNROLL // md) % CELL or (SEG // md) % CELL:
+        raise ValueError("UNROLL/md must cover whole cells (see _plan)")
+    cells_seg = SEG // md // CELL
+    cells_p = steps_p // md // CELL
     kern = functools.partial(
         _k1_kernel, B=B, H=H, steps=steps, SEG=SEG, UNROLL=UNROLL,
         md=md, CH=CH, HP=HP, RB=RB)
@@ -304,9 +322,9 @@ def k1_scan(bits3, tabw, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL, md,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((slots_seg, RB, 128), lambda rg, s: (s, rg, 0),
+            pl.BlockSpec((cells_seg, RB, 128), lambda rg, s: (s, rg, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((slots_seg, RB, 128), lambda rg, s: (s, rg, 0),
+            pl.BlockSpec((cells_seg, RB, 128), lambda rg, s: (s, rg, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((HP, RB, 128), lambda rg, s: (0, rg, 0),
                          memory_space=pltpu.VMEM),
@@ -316,8 +334,8 @@ def k1_scan(bits3, tabw, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL, md,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((slots_p, R, 128), jnp.uint8),
-            jax.ShapeDtypeStruct((slots_p, R, 128), jnp.uint8),
+            jax.ShapeDtypeStruct((cells_p, R, 128), jnp.int32),
+            jax.ShapeDtypeStruct((cells_p, R, 128), jnp.uint8),
             jax.ShapeDtypeStruct((HP, R, 128), jnp.int32),
             jax.ShapeDtypeStruct((HP, R, 128), jnp.int32),
             jax.ShapeDtypeStruct((HP, R, 128), jnp.int32),
@@ -443,11 +461,20 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
         recC[...] = zc
         cumMC[...] = zc
 
-    live_any = jnp.int32(0)
+    # candidate liveness per *chain group*: a lone unmerged chain (e.g. a
+    # phase-locked run that defers self-sync for hundreds of rows) then
+    # keeps only its ~6-chain group walking instead of all CH chains
+    GRP = 6
+    NGRP = max(1, -(-CH // GRP))
     lim_ok = (lim_ref[...] > s * SEG).astype(jnp.int32)
-    for c in range(CH):
-        live_any = jnp.maximum(
-            live_any, jnp.max((1 - (recC[c] & 1)) * lim_ok))
+    glive = []
+    live_any = jnp.int32(0)
+    for g in range(NGRP):
+        lg = jnp.int32(0)
+        for c in range(g * GRP, min((g + 1) * GRP, CH)):
+            lg = jnp.maximum(lg, jnp.max((1 - (recC[c] & 1)) * lim_ok))
+        glive.append(lg)
+        live_any = jnp.maximum(live_any, lg)
 
     def chunk_entry(node, b):
         """One composite 2-bit lookup.  Returns (e, rc) with e the
@@ -467,9 +494,9 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
     def main_block(track_exit, store_scr):
         def body(i, carry):
             node, cnt, done, ex0 = carry
-            n_slots = UNROLL // md
-            saccs = [jnp.zeros((R, 128), jnp.uint8) for _ in range(n_slots)]
-            vaccs = [jnp.zeros((R, 128), jnp.int32) for _ in range(n_slots)]
+            n_cells = UNROLL // md // CELL
+            caccs = [jnp.zeros((R, 128), jnp.int32) for _ in range(n_cells)]
+            naccs = [jnp.zeros((R, 128), jnp.int32) for _ in range(n_cells)]
             for cu in range(UNROLL // 2):
                 lj2 = i * (UNROLL // 2) + cu
                 jbit = s * SEG + 2 * lj2  # absolute bit of chunk start
@@ -477,7 +504,7 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
                 e, rc = chunk_entry(node, b)
                 emit = (e >> 7) & 1
                 pos = e & 1
-                sym8 = (e >> 8).astype(jnp.uint8)
+                sym32 = e >> 8
                 node = jnp.where(emit > 0, (1 - pos) * rc, e & 127)
                 if track_exit:
                     emit = emit * (1 - done)
@@ -491,23 +518,29 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
                 # slot attribution: both chunk bits land in the same
                 # md-slot iff md is even; odd md splits by pos
                 # (i*UNROLL is a multiple of md, so only the in-body
-                # offset matters and the indices are static)
+                # offset matters and the indices are static); slot sl
+                # packs into byte sl%CELL of cell sl//CELL
                 sl0 = (2 * cu) // md
                 sl1 = (2 * cu + 1) // md
-                sym_m = jnp.where(emit > 0, sym8, 0)
                 if sl0 == sl1:
-                    saccs[sl0] = saccs[sl0] | sym_m
-                    vaccs[sl0] = vaccs[sl0] | emit
+                    caccs[sl0 // CELL] = caccs[sl0 // CELL] | (
+                        jnp.where(emit > 0, sym32, 0) << (8 * (sl0 % CELL)))
+                    naccs[sl0 // CELL] = naccs[sl0 // CELL] | (
+                        emit << (sl0 % CELL))
                 else:
                     m0 = emit * (1 - pos)
                     m1 = emit * pos
-                    saccs[sl0] = saccs[sl0] | jnp.where(m0 > 0, sym8, 0)
-                    vaccs[sl0] = vaccs[sl0] | m0
-                    saccs[sl1] = saccs[sl1] | jnp.where(m1 > 0, sym8, 0)
-                    vaccs[sl1] = vaccs[sl1] | m1
-            for t in range(n_slots):
-                sym_ref[i * n_slots + t] = saccs[t]
-                val_ref[i * n_slots + t] = vaccs[t].astype(jnp.uint8)
+                    caccs[sl0 // CELL] = caccs[sl0 // CELL] | (
+                        jnp.where(m0 > 0, sym32, 0) << (8 * (sl0 % CELL)))
+                    naccs[sl0 // CELL] = naccs[sl0 // CELL] | (
+                        m0 << (sl0 % CELL))
+                    caccs[sl1 // CELL] = caccs[sl1 // CELL] | (
+                        jnp.where(m1 > 0, sym32, 0) << (8 * (sl1 % CELL)))
+                    naccs[sl1 // CELL] = naccs[sl1 // CELL] | (
+                        m1 << (sl1 % CELL))
+            for t in range(n_cells):
+                sym_ref[i * n_cells + t] = caccs[t]
+                val_ref[i * n_cells + t] = naccs[t].astype(jnp.uint8)
             return node, cnt, done, ex0
 
         out = jax.lax.fori_loop(
@@ -534,56 +567,65 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
     def _light_n():
         main_block(False, False)
 
-    # ---- candidate pass ---------------------------------------------------
-    @pl.when(live_any > 0)
-    def _cands():
-        tb0c = jnp.broadcast_to(tab_ref[0:1, :], (CH * R, 128))
-        tb1c = jnp.broadcast_to(tab_ref[1:2, :], (CH * R, 128))
-        chain_of = jax.lax.broadcasted_iota(jnp.int32, (CH, R, 128), 0)
+    # ---- candidate pass (one gated region per chain group) ----------------
+    for g in range(NGRP):
+        c0g, c1g = g * GRP, min((g + 1) * GRP, CH)
+        CHg = c1g - c0g
 
-        def body(i, carry):
-            node, cnt, rec, cum = carry
-            lj2 = i
-            jbit = s * SEG + 2 * lj2
-            b = bits_ref[lj2].astype(jnp.int32)
-            b0 = (b & 1)[None]
-            b1 = ((b >> 1) & 1)[None]
-            pm = (b >= PAD2)[None]
-            v0m = v_scr[lj2][None]
-            cum0 = cum_scr[lj2][None]
-            n2 = node.reshape(CH * R, 128)
-            w0 = jnp.take_along_axis(tb0c, n2, axis=1).reshape(CH, R, 128)
-            w1 = jnp.take_along_axis(tb1c, n2, axis=1).reshape(CH, R, 128)
-            w = jnp.where(b0 > 0, w1, w0)
-            e = (w >> (b1 << 4)) & 0xFFFF
-            e = jnp.where(pm, 0, e)
-            emit = (e >> 7) & 1
-            pos = e & 1
-            rc = jnp.where(b1 > 0, C1, C0)
-            node_full = jnp.where(emit > 0, (1 - pos) * rc, e & 127)
-            alive = 1 - (rec & 1)
-            started = jnp.where(jbit >= chain_of + 1, 1, 0)
-            partial = jnp.where(chain_of == jbit, 1, 0)
-            node = jnp.where(alive * started > 0, node_full, node)
-            node = jnp.where((alive * partial > 0) & ~pm,
-                             jnp.broadcast_to(rc, node.shape), node)
-            em = emit * alive * started
-            cnt = cnt + em
-            mbit = (v0m >> pos) & 1
-            late = em * jnp.where(jbit + pos + 1 >= B, 1, 0)
-            resolve = ((em * mbit) | late) > 0
-            rec_val = (mbit << 1) + (((jbit + pos) << 2) | 1)
-            rec = jnp.where(resolve, rec_val, rec)
-            cum = jnp.where(resolve, jnp.broadcast_to(cum0, cum.shape), cum)
-            return node, cnt, rec, cum
+        @pl.when(glive[g] > 0)
+        def _cands(c0g=c0g, c1g=c1g, CHg=CHg):
+            tb0c = jnp.broadcast_to(tab_ref[0:1, :], (CHg * R, 128))
+            tb1c = jnp.broadcast_to(tab_ref[1:2, :], (CHg * R, 128))
+            chain_of = jax.lax.broadcasted_iota(
+                jnp.int32, (CHg, R, 128), 0) + c0g
 
-        init = (nodeC[...], cntC[...], recC[...], cumMC[...])
-        node, cnt, rec, cum = jax.lax.fori_loop(0, SEG // 2, body, init,
-                                                unroll=SEG // 2)
-        nodeC[...] = node
-        cntC[...] = cnt
-        recC[...] = rec
-        cumMC[...] = cum
+            def body(i, carry):
+                node, cnt, rec, cum = carry
+                lj2 = i
+                jbit = s * SEG + 2 * lj2
+                b = bits_ref[lj2].astype(jnp.int32)
+                b0 = (b & 1)[None]
+                b1 = ((b >> 1) & 1)[None]
+                pm = (b >= PAD2)[None]
+                v0m = v_scr[lj2][None]
+                cum0 = cum_scr[lj2][None]
+                n2 = node.reshape(CHg * R, 128)
+                w0 = jnp.take_along_axis(
+                    tb0c, n2, axis=1).reshape(CHg, R, 128)
+                w1 = jnp.take_along_axis(
+                    tb1c, n2, axis=1).reshape(CHg, R, 128)
+                w = jnp.where(b0 > 0, w1, w0)
+                e = (w >> (b1 << 4)) & 0xFFFF
+                e = jnp.where(pm, 0, e)
+                emit = (e >> 7) & 1
+                pos = e & 1
+                rc = jnp.where(b1 > 0, C1, C0)
+                node_full = jnp.where(emit > 0, (1 - pos) * rc, e & 127)
+                alive = 1 - (rec & 1)
+                started = jnp.where(jbit >= chain_of + 1, 1, 0)
+                partial = jnp.where(chain_of == jbit, 1, 0)
+                node = jnp.where(alive * started > 0, node_full, node)
+                node = jnp.where((alive * partial > 0) & ~pm,
+                                 jnp.broadcast_to(rc, node.shape), node)
+                em = emit * alive * started
+                cnt = cnt + em
+                mbit = (v0m >> pos) & 1
+                late = em * jnp.where(jbit + pos + 1 >= B, 1, 0)
+                resolve = ((em * mbit) | late) > 0
+                rec_val = (mbit << 1) + (((jbit + pos) << 2) | 1)
+                rec = jnp.where(resolve, rec_val, rec)
+                cum = jnp.where(resolve,
+                                jnp.broadcast_to(cum0, cum.shape), cum)
+                return node, cnt, rec, cum
+
+            init = (nodeC[c0g:c1g], cntC[c0g:c1g],
+                    recC[c0g:c1g], cumMC[c0g:c1g])
+            node, cnt, rec, cum = jax.lax.fori_loop(0, SEG // 2, body, init,
+                                                    unroll=SEG // 2)
+            nodeC[c0g:c1g] = node
+            cntC[c0g:c1g] = cnt
+            recC[c0g:c1g] = rec
+            cumMC[c0g:c1g] = cum
 
     # ---- epilogue (identical semantics to the 1-bit kernel) ---------------
     @pl.when(s == pl.num_programs(1) - 1)
@@ -619,8 +661,10 @@ def k1_scan2(bits2, tabq, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL,
     S = steps_p // SEG
     CH = max(H - 1, 1)
     HP = -(-(CH + 1) // 8) * 8
-    slots_seg = SEG // md
-    slots_p = steps_p // md
+    if (UNROLL // md) % CELL or (SEG // md) % CELL:
+        raise ValueError("UNROLL/md must cover whole cells (see _plan)")
+    cells_seg = SEG // md // CELL
+    cells_p = steps_p // md // CELL
     kern = functools.partial(
         _k1_kernel2, B=B, H=H, steps=steps, SEG=SEG, UNROLL=UNROLL,
         md=md, CH=CH, HP=HP, RB=RB, C0=C0, C1=C1)
@@ -636,9 +680,9 @@ def k1_scan2(bits2, tabq, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((slots_seg, RB, 128), lambda rg, s: (s, rg, 0),
+            pl.BlockSpec((cells_seg, RB, 128), lambda rg, s: (s, rg, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((slots_seg, RB, 128), lambda rg, s: (s, rg, 0),
+            pl.BlockSpec((cells_seg, RB, 128), lambda rg, s: (s, rg, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((HP, RB, 128), lambda rg, s: (0, rg, 0),
                          memory_space=pltpu.VMEM),
@@ -648,8 +692,8 @@ def k1_scan2(bits2, tabq, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((slots_p, R, 128), jnp.uint8),
-            jax.ShapeDtypeStruct((slots_p, R, 128), jnp.uint8),
+            jax.ShapeDtypeStruct((cells_p, R, 128), jnp.int32),
+            jax.ShapeDtypeStruct((cells_p, R, 128), jnp.uint8),
             jax.ShapeDtypeStruct((HP, R, 128), jnp.int32),
             jax.ShapeDtypeStruct((HP, R, 128), jnp.int32),
             jax.ShapeDtypeStruct((HP, R, 128), jnp.int32),
@@ -768,38 +812,49 @@ def _k3_kernel(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
     @pl.when(gated)
     def _run():
         cutsl = cutsl_ref[...]
+        n_cells = UNROLL // md // CELL
+        cells_seg = SEG // md // CELL
 
         def body(i, node):
-            for grp in range(UNROLL // md):
-                sacc = jnp.zeros((R, 128), jnp.uint8)
-                vacc = jnp.zeros((R, 128), jnp.int32)
-                for u in range(md):
-                    lj = i * UNROLL + grp * md + u
-                    j = s * SEG + lj
-                    b = bits_ref[lj].astype(jnp.int32)
-                    w = jnp.take_along_axis(tab_bc, node, axis=1)
-                    e = (w >> ((b & 1) << 4)) & 0xFFFF
-                    e = jnp.where(b >= PAD_BIT, 0, e)
-                    alive = j >= ent
-                    node = jnp.where(alive, e & 127, node)
-                    emit1 = jnp.where(alive, (e >> 7) & 1, 0)
-                    sacc = sacc | jnp.where(
-                        alive, e >> 8, 0).astype(jnp.uint8)
-                    vacc = vacc | emit1
-                sl = (i * UNROLL + grp * md) // md
-                fix = (s * SEG) // md + sl < cutsl
-                sym_ref[sl] = jnp.where(fix, sacc, symin_ref[sl])
-                val_ref[sl] = jnp.where(fix, vacc.astype(jnp.uint8),
-                                        valin_ref[sl])
+            for tc in range(n_cells):
+                cacc = jnp.zeros((R, 128), jnp.int32)
+                nacc = jnp.zeros((R, 128), jnp.int32)
+                for cs in range(CELL):
+                    for u in range(md):
+                        lj = i * UNROLL + (tc * CELL + cs) * md + u
+                        j = s * SEG + lj
+                        b = bits_ref[lj].astype(jnp.int32)
+                        w = jnp.take_along_axis(tab_bc, node, axis=1)
+                        e = (w >> ((b & 1) << 4)) & 0xFFFF
+                        e = jnp.where(b >= PAD_BIT, 0, e)
+                        alive = j >= ent
+                        node = jnp.where(alive, e & 127, node)
+                        emit1 = jnp.where(alive, (e >> 7) & 1, 0)
+                        cacc = cacc | (jnp.where(alive, e >> 8, 0)
+                                       << (8 * cs))
+                        nacc = nacc | (emit1 << cs)
+                cl = i * n_cells + tc
+                # splice at slot granularity *within* the boundary cell:
+                # the first k slots of the cell (those below the lane's
+                # cut) take the fix scan's bytes, the rest keep the main
+                # scan's
+                k = jnp.clip(cutsl - (s * cells_seg + cl) * CELL, 0, CELL)
+                vmask = (1 << k) - 1
+                smask = jnp.where(k >= CELL, -1,
+                                  (1 << (8 * jnp.minimum(k, CELL - 1))) - 1)
+                sym_ref[cl] = (cacc & smask) | (symin_ref[cl] & ~smask)
+                val_ref[cl] = ((nacc & vmask) | (
+                    valin_ref[cl].astype(jnp.int32) & ~vmask)
+                ).astype(jnp.uint8)
             return node
 
         nodeF[...] = jax.lax.fori_loop(0, SEG // UNROLL, body, nodeF[...])
 
     @pl.when(~gated)
     def _copy():
-        for sl in range(slots_seg):
-            sym_ref[sl] = symin_ref[sl]
-            val_ref[sl] = valin_ref[sl]
+        for cl in range(slots_seg // CELL):
+            sym_ref[cl] = symin_ref[cl]
+            val_ref[cl] = valin_ref[cl]
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -808,9 +863,10 @@ def k3_fix(bits3, tabw, ent2, cut2, cutsl2, sym, val, *, G, steps_p, SEG,
            UNROLL, md, interpret=False):
     R = G // 128
     S = steps_p // SEG
-    slots_seg = SEG // md
+    cells_seg = SEG // md // CELL
+    cells_p = steps_p // md // CELL
     kern = functools.partial(_k3_kernel, G=G, SEG=SEG, UNROLL=UNROLL, md=md)
-    slot_spec = pl.BlockSpec((slots_seg, R, 128), lambda s: (s, 0, 0),
+    cell_spec = pl.BlockSpec((cells_seg, R, 128), lambda s: (s, 0, 0),
                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
@@ -826,13 +882,13 @@ def k3_fix(bits3, tabw, ent2, cut2, cutsl2, sym, val, *, G, steps_p, SEG,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((SEG, R, 128), lambda s: (s, 0, 0),
                          memory_space=pltpu.VMEM),
-            slot_spec,
-            slot_spec,
+            cell_spec,
+            cell_spec,
         ],
-        out_specs=[slot_spec, slot_spec],
+        out_specs=[cell_spec, cell_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((steps_p // md, R, 128), jnp.uint8),
-            jax.ShapeDtypeStruct((steps_p // md, R, 128), jnp.uint8),
+            jax.ShapeDtypeStruct((cells_p, R, 128), jnp.int32),
+            jax.ShapeDtypeStruct((cells_p, R, 128), jnp.uint8),
         ],
         scratch_shapes=[pltpu.VMEM((R, 128), jnp.int32)],
         input_output_aliases={5: 0, 6: 1},
@@ -863,11 +919,12 @@ def _k3_kernel2(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
     @pl.when(gated)
     def _run():
         cutsl = cutsl_ref[...]
-        n_slots = UNROLL // md
+        n_cells = UNROLL // md // CELL
+        cells_seg = SEG // md // CELL
 
         def body(i, node):
-            saccs = [jnp.zeros((R, 128), jnp.uint8) for _ in range(n_slots)]
-            vaccs = [jnp.zeros((R, 128), jnp.int32) for _ in range(n_slots)]
+            caccs = [jnp.zeros((R, 128), jnp.int32) for _ in range(n_cells)]
+            naccs = [jnp.zeros((R, 128), jnp.int32) for _ in range(n_cells)]
             for cu in range(UNROLL // 2):
                 lj2 = i * (UNROLL // 2) + cu
                 jbit = s * SEG + 2 * lj2
@@ -881,7 +938,7 @@ def _k3_kernel2(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
                 e = jnp.where(b >= PAD2, 0, e)
                 emit = (e >> 7) & 1
                 pos = e & 1
-                sym8 = (e >> 8).astype(jnp.uint8)
+                sym32 = e >> 8
                 rc = jnp.where(b1 > 0, C1, C0)
                 node_full = jnp.where(emit > 0, (1 - pos) * rc, e & 127)
                 started = jbit >= ent
@@ -891,32 +948,42 @@ def _k3_kernel2(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
                 em = emit * started.astype(jnp.int32)
                 sl0 = (2 * cu) // md
                 sl1 = (2 * cu + 1) // md
-                sym_m = jnp.where(em > 0, sym8, 0)
                 if sl0 == sl1:
-                    saccs[sl0] = saccs[sl0] | sym_m
-                    vaccs[sl0] = vaccs[sl0] | em
+                    caccs[sl0 // CELL] = caccs[sl0 // CELL] | (
+                        jnp.where(em > 0, sym32, 0) << (8 * (sl0 % CELL)))
+                    naccs[sl0 // CELL] = naccs[sl0 // CELL] | (
+                        em << (sl0 % CELL))
                 else:
                     m0 = em * (1 - pos)
                     m1 = em * pos
-                    saccs[sl0] = saccs[sl0] | jnp.where(m0 > 0, sym8, 0)
-                    vaccs[sl0] = vaccs[sl0] | m0
-                    saccs[sl1] = saccs[sl1] | jnp.where(m1 > 0, sym8, 0)
-                    vaccs[sl1] = vaccs[sl1] | m1
-            for t in range(n_slots):
-                sl = i * n_slots + t
-                fix = (s * SEG) // md + sl < cutsl
-                sym_ref[sl] = jnp.where(fix, saccs[t], symin_ref[sl])
-                val_ref[sl] = jnp.where(fix, vaccs[t].astype(jnp.uint8),
-                                        valin_ref[sl])
+                    caccs[sl0 // CELL] = caccs[sl0 // CELL] | (
+                        jnp.where(m0 > 0, sym32, 0) << (8 * (sl0 % CELL)))
+                    naccs[sl0 // CELL] = naccs[sl0 // CELL] | (
+                        m0 << (sl0 % CELL))
+                    caccs[sl1 // CELL] = caccs[sl1 // CELL] | (
+                        jnp.where(m1 > 0, sym32, 0) << (8 * (sl1 % CELL)))
+                    naccs[sl1 // CELL] = naccs[sl1 // CELL] | (
+                        m1 << (sl1 % CELL))
+            for t in range(n_cells):
+                cl = i * n_cells + t
+                # masked boundary-cell splice (see _k3_kernel)
+                k = jnp.clip(cutsl - (s * cells_seg + cl) * CELL, 0, CELL)
+                vmask = (1 << k) - 1
+                smask = jnp.where(k >= CELL, -1,
+                                  (1 << (8 * jnp.minimum(k, CELL - 1))) - 1)
+                sym_ref[cl] = (caccs[t] & smask) | (symin_ref[cl] & ~smask)
+                val_ref[cl] = ((naccs[t] & vmask) | (
+                    valin_ref[cl].astype(jnp.int32) & ~vmask)
+                ).astype(jnp.uint8)
             return node
 
         nodeF[...] = jax.lax.fori_loop(0, SEG // UNROLL, body, nodeF[...])
 
     @pl.when(~gated)
     def _copy():
-        for sl in range(slots_seg):
-            sym_ref[sl] = symin_ref[sl]
-            val_ref[sl] = valin_ref[sl]
+        for cl in range(slots_seg // CELL):
+            sym_ref[cl] = symin_ref[cl]
+            val_ref[cl] = valin_ref[cl]
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -925,10 +992,11 @@ def k3_fix2(bits2, tabq, ent2, cut2, cutsl2, sym, val, *, G, steps_p, SEG,
             UNROLL, md, C0, C1, interpret=False):
     R = G // 128
     S = steps_p // SEG
-    slots_seg = SEG // md
+    cells_seg = SEG // md // CELL
+    cells_p = steps_p // md // CELL
     kern = functools.partial(_k3_kernel2, G=G, SEG=SEG, UNROLL=UNROLL,
                              md=md, C0=C0, C1=C1)
-    slot_spec = pl.BlockSpec((slots_seg, R, 128), lambda s: (s, 0, 0),
+    cell_spec = pl.BlockSpec((cells_seg, R, 128), lambda s: (s, 0, 0),
                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
@@ -944,13 +1012,13 @@ def k3_fix2(bits2, tabq, ent2, cut2, cutsl2, sym, val, *, G, steps_p, SEG,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((SEG // 2, R, 128), lambda s: (s, 0, 0),
                          memory_space=pltpu.VMEM),
-            slot_spec,
-            slot_spec,
+            cell_spec,
+            cell_spec,
         ],
-        out_specs=[slot_spec, slot_spec],
+        out_specs=[cell_spec, cell_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((steps_p // md, R, 128), jnp.uint8),
-            jax.ShapeDtypeStruct((steps_p // md, R, 128), jnp.uint8),
+            jax.ShapeDtypeStruct((cells_p, R, 128), jnp.int32),
+            jax.ShapeDtypeStruct((cells_p, R, 128), jnp.uint8),
         ],
         scratch_shapes=[pltpu.VMEM((R, 128), jnp.int32)],
         input_output_aliases={5: 0, 6: 1},
@@ -962,96 +1030,113 @@ def k3_fix2(bits2, tabq, ent2, cut2, cutsl2, sym, val, *, G, steps_p, SEG,
 # K4: per-lane compaction to dense prefixes
 
 
-def _k4_kernel(sym_ref, val_ref, out_ref, *, slots_p, slots_pp, ORP, RT):
-    """Transpose + per-lane compaction, RT 128-lane tiles per kernel
-    instance (the Pallas TPU tiling rule wants the sublane block dim
-    divisible by 8, so blocks carry 8 of the (slots_p, R, 128) layout's
-    middle rows at once).
+def _k4_kernel(sym_ref, val_ref, out_ref, *, cells_p, cells_pp, ORP, RT):
+    """Per-lane compaction from CELL-packed emissions to dense rows, RT
+    128-lane tiles per kernel instance (the Pallas TPU tiling rule wants
+    the sublane block dim divisible by 8, so blocks carry 8 of the
+    (cells_p, R, 128) layout's middle rows at once).
 
-    sym/val arrive spliced (K3) in the scan's (slot-row, lane) layout and
-    are transposed in-kernel (Mosaic lowers 2D transposes natively —
-    HW-probed) so lanes sit on sublanes for the window-local
-    binary-search gathers (width-128 lane axis), then a window-select
-    merge by global rank writes the dense per-lane rows."""
-    W = slots_pp // 128
+    sym/val arrive spliced (K3) as int32 cell words / u8 valid nibbles in
+    the scan's (cell-row, lane) layout; each r sub-tile transposes lanes
+    onto sublanes (Mosaic lowers 2D transposes natively — HW-probed),
+    computes per-128-cell-window popcount prefix sums, then resolves each
+    output rank directly: per-lane window select on the window prefix
+    counts, a 7-step binary search for the cell (width-128 lane-axis
+    gathers), and a nibble-partial-popcount byte select inside the cell.
+    The CELL packing makes one search step cover 4 slots, so there is no
+    separate window-merge stage."""
+    CW = cells_pp // 128
     iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-    want = iota + 1
     for r in range(RT):
-        symT = sym_ref[:, r, :].T
-        valT = val_ref[:, r, :].T
-        if slots_pp != slots_p:
-            z = jnp.zeros((128, slots_pp - slots_p), jnp.uint8)
-            symT = jnp.concatenate([symT, z], axis=1)
-            valT = jnp.concatenate([valT, z], axis=1)
-
-        denses = []
-        wcs = []
-        for w in range(W):
-            v = valT[:, w * 128:(w + 1) * 128].astype(jnp.int32)
-            cum = v
+        symT = sym_ref[:, r, :].T            # (128, cells_p) i32
+        nibT = val_ref[:, r, :].T            # (128, cells_p) u8
+        if cells_pp != cells_p:
+            pad = cells_pp - cells_p
+            symT = jnp.concatenate(
+                [symT, jnp.zeros((128, pad), jnp.int32)], axis=1)
+            nibT = jnp.concatenate(
+                [nibT, jnp.zeros((128, pad), jnp.uint8)], axis=1)
+        syms, nibs, cums = [], [], []
+        wpre = [jnp.zeros((128, 1), jnp.int32)]
+        for w in range(CW):
+            sl = slice(w * 128, (w + 1) * 128)
+            nib = nibT[:, sl].astype(jnp.int32)
+            c2 = ((nib & 1) + ((nib >> 1) & 1)
+                  + ((nib >> 2) & 1) + ((nib >> 3) & 1))
+            cum = c2
             sh = 1
             while sh < 128:
                 cum = cum + jnp.where(iota >= sh,
                                       pltpu.roll(cum, sh, axis=1), 0)
                 sh <<= 1
-            pos = jnp.zeros((128, 128), jnp.int32)
-            t = 64
-            while t:
-                npos = pos + t
-                c = jnp.take_along_axis(cum, npos - 1, axis=1)
-                pos = jnp.where(c < want, npos, pos)
-                t >>= 1
-            symw = symT[:, w * 128:(w + 1) * 128].astype(jnp.int32)
-            denses.append(
-                jnp.take_along_axis(symw, jnp.minimum(pos, 127), axis=1))
-            wcs.append(cum[:, 127:128])
-
-        wpre = [jnp.zeros((128, 1), jnp.int32)]
-        for w in range(W):
-            wpre.append(wpre[-1] + wcs[w])
-        max_cnt = jnp.max(wpre[W])
+            syms.append(symT[:, sl])
+            nibs.append(nib)
+            cums.append(cum)
+            wpre.append(wpre[-1] + cum[:, 127:128])
+        max_cnt = jnp.max(wpre[CW])
 
         for oc in range(ORP // 128):
             # out windows past every lane's count hold only masked-off
             # garbage (materialize trims by counts), so skip them — ORP's
-            # 1.25x headroom makes the last ~quarter skippable
+            # 1.25x headroom makes the tail skippable
             @pl.when(max_cnt > oc * 128)
             def _ow(oc=oc):
-                # rank i in [128*oc, 128*oc+128) can only come from
-                # windows w >= oc (window w holds ranks < 128*(w+1))
-                i_vec = iota + oc * 128
-                q = jnp.full((128, 128), oc, jnp.int32)
-                wsel = jnp.broadcast_to(wpre[oc], (128, 128))
-                for w in range(oc + 1, W):
+                i_vec = iota + oc * 128      # 0-based global rank
+                q = jnp.zeros((128, 128), jnp.int32)
+                wsel = jnp.zeros((128, 128), jnp.int32)
+                for w in range(1, CW):
                     ge = i_vec >= jnp.broadcast_to(wpre[w], (128, 128))
                     q = q + ge.astype(jnp.int32)
                     wsel = jnp.where(
                         ge, jnp.broadcast_to(wpre[w], (128, 128)), wsel)
-                p = jnp.clip(i_vec - wsel, 0, 127)
-                out = jnp.zeros((128, 128), jnp.int32)
-                for w in range(oc, W):
-                    cand = jnp.take_along_axis(denses[w], p, axis=1)
-                    out = jnp.where(q == w, cand, out)
-                out_ref[r * 128:(r + 1) * 128,
-                        oc * 128:(oc + 1) * 128] = out.astype(jnp.uint8)
+                qm = [q == w for w in range(1, CW)]
+
+                def sel(arrs, idx):
+                    g = jnp.take_along_axis(arrs[0], idx, axis=1)
+                    for w in range(1, CW):
+                        g = jnp.where(
+                            qm[w - 1],
+                            jnp.take_along_axis(arrs[w], idx, axis=1), g)
+                    return g
+
+                want = i_vec - wsel + 1      # 1-based in-window rank
+                pos = jnp.zeros((128, 128), jnp.int32)
+                t = 64
+                while t:
+                    npos = pos + t
+                    pos = jnp.where(sel(cums, npos - 1) < want, npos, pos)
+                    t >>= 1
+                cell = sel(syms, pos)
+                nibg = sel(nibs, pos)
+                cumg = sel(cums, pos)
+                q1 = nibg & 1
+                q2 = q1 + ((nibg >> 1) & 1)
+                q3 = q2 + ((nibg >> 2) & 1)
+                c2g = q3 + ((nibg >> 3) & 1)
+                rc = (want - 1) - (cumg - c2g)   # rank within the cell
+                p8 = ((rc >= q1).astype(jnp.int32)
+                      + (rc >= q2) + (rc >= q3)) << 3
+                out_ref[r * 128:(r + 1) * 128, oc * 128:(oc + 1) * 128] = (
+                    (cell >> p8) & 0xFF).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("G", "slots_p", "ORP",
+@functools.partial(jax.jit, static_argnames=("G", "cells_p", "ORP",
                                              "interpret"))
-def k4_compact(sym, val, *, G, slots_p, ORP, interpret=False):
-    """sym/val: (slots_p, R, 128) spliced scan outputs.  Returns denseT
-    (G, ORP) u8 — lane g's first n_g decoded bytes (lane g = r*128+c)."""
+def k4_compact(sym, val, *, G, cells_p, ORP, interpret=False):
+    """sym/val: (cells_p, R, 128) spliced CELL-packed scan outputs.
+    Returns denseT (G, ORP) u8 — lane g's first n_g decoded bytes
+    (lane g = r*128+c)."""
     R = G // 128
     RT = 8 if R % 8 == 0 else R
-    slots_pp = -(-slots_p // 128) * 128
-    kern = functools.partial(_k4_kernel, slots_p=slots_p, slots_pp=slots_pp,
-                             ORP=ORP, RT=RT)
-    slot_spec = pl.BlockSpec((slots_p, RT, 128), lambda t: (0, t, 0),
+    cells_pp = -(-cells_p // 128) * 128
+    kern = functools.partial(_k4_kernel, cells_p=cells_p,
+                             cells_pp=cells_pp, ORP=ORP, RT=RT)
+    cell_spec = pl.BlockSpec((cells_p, RT, 128), lambda t: (0, t, 0),
                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
         grid=(R // RT,),
-        in_specs=[slot_spec, slot_spec],
+        in_specs=[cell_spec, cell_spec],
         out_specs=pl.BlockSpec((RT * 128, ORP), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G, ORP), jnp.uint8),
@@ -1084,7 +1169,7 @@ def wide_decode_program(bits3, tabw, lim2, *, B, H, G, steps, steps_p, SEG,
     pack_quad_tables word pair — every scan steps two bits at a time
     (k-bit chunking, jumptableapproach.c:173-258 role)."""
     R = G // 128
-    slots_p = steps_p // md
+    cells_p = steps_p // md // CELL
     if chunk2:
         sym, val, cntmap, exmap, mrowmap = k1_scan2(
             bits3, tabw, lim2, B=B, H=H, G=G, steps=steps, steps_p=steps_p,
@@ -1133,7 +1218,7 @@ def wide_decode_program(bits3, tabw, lim2, *, B, H, G, steps, steps_p, SEG,
                             cut.reshape(R, 128), cut_slot.reshape(R, 128),
                             sym, val, G=G, steps_p=steps_p, SEG=SEG,
                             UNROLL=UNROLL, md=md, interpret=interpret)
-    denseT = k4_compact(msym, mval, G=G, slots_p=slots_p, ORP=ORP,
+    denseT = k4_compact(msym, mval, G=G, cells_p=cells_p, ORP=ORP,
                         interpret=interpret)
     # fence: a 1-element value data-dependent on the LAST kernel's output,
     # so a tiny readback provably brackets the whole program (this
@@ -1152,12 +1237,12 @@ def _plan(bits: int, H: int, md: int, lanes=None, avg_len=None):
     ``avg_len``: mean code length (bits / uncompressed size) — sizes the
     dense output buffer tightly; a lane that overflows it sets the
     wrapper's fallback path, so this is a heuristic, not a bound."""
-    UNROLL = md * max(1, round(8 / md))
-    if UNROLL % 2:
-        # odd md: the smallest even multiple of md near 8 keeps the
-        # 2-bit chunked kernels eligible (they need whole chunks per
-        # unrolled body; half the shipped corpora have md == 3)
-        UNROLL = 2 * md * max(1, round(4 / md))
+    # UNROLL/md = 4 slots = exactly one CELL per unrolled body (8 = two
+    # cells for md=1), so every kernel body packs whole 4-slot cells; md
+    # is capped at 8 structurally (a byte alphabet with all codes > 8
+    # bits would need > 256 leaves), so UNROLL <= 32.  4*md is also even,
+    # keeping the 2-bit chunked kernels eligible for every md >= 2.
+    UNROLL = 8 if md == 1 else 4 * md
     SEG = UNROLL * max(1, 32 // UNROLL)
     if lanes is None:
         # HW sweep (v5e, 2026-08-17): throughput peaks at ~500 decoded

@@ -316,7 +316,8 @@ def _wide_shard_body(bits2_loc, tabq, lim_loc, *, plan, H, md, C0, C1,
         cut_slot.reshape(Rl, 128), sym, val, G=Gl, steps_p=p["steps_p"],
         SEG=p["SEG"], UNROLL=p["UNROLL"], md=md, C0=C0, C1=C1,
         interpret=interpret)
-    denseT = ws.k4_compact(msym, mval, G=Gl, slots_p=p["steps_p"] // md,
+    denseT = ws.k4_compact(msym, mval, G=Gl,
+                           cells_p=p["steps_p"] // md // ws.CELL,
                            ORP=p["ORP"], interpret=interpret)
     # fence: data-dependent on the LAST kernel so a 1-element readback
     # brackets the whole shard program (the relay's block_until_ready
