@@ -1056,23 +1056,40 @@ def _k4_kernel(sym_ref, val_ref, out_ref, *, cells_p, cells_pp, ORP, RT):
                 [symT, jnp.zeros((128, pad), jnp.int32)], axis=1)
             nibT = jnp.concatenate(
                 [nibT, jnp.zeros((128, pad), jnp.uint8)], axis=1)
-        syms, nibs, cums = [], [], []
-        wpre = [jnp.zeros((128, 1), jnp.int32)]
+        # Windows pack 3-wide into 10-bit fields of one int32 (a window's
+        # count is <= 4*128 = 512 < 2^10), so ONE prefix-sum pass covers
+        # up to 3 windows and ONE gather per search step fetches every
+        # window's cum — the window select is then a variable shift on
+        # the gathered word instead of per-window gathers + selects.
+        syms = []
+        cpacks = []   # packed popcounts -> packed inclusive prefix sums
+        npacks = []   # nibbles, 4-bit fields, up to 8 windows per word
         for w in range(CW):
             sl = slice(w * 128, (w + 1) * 128)
             nib = nibT[:, sl].astype(jnp.int32)
             c2 = ((nib & 1) + ((nib >> 1) & 1)
                   + ((nib >> 2) & 1) + ((nib >> 3) & 1))
-            cum = c2
+            syms.append(symT[:, sl])
+            if w % 3 == 0:
+                cpacks.append(c2)
+            else:
+                cpacks[-1] = cpacks[-1] | (c2 << (10 * (w % 3)))
+            if w % 8 == 0:
+                npacks.append(nib)
+            else:
+                npacks[-1] = npacks[-1] | (nib << (4 * (w % 8)))
+        for pi in range(len(cpacks)):
+            cum = cpacks[pi]
             sh = 1
             while sh < 128:
                 cum = cum + jnp.where(iota >= sh,
                                       pltpu.roll(cum, sh, axis=1), 0)
                 sh <<= 1
-            syms.append(symT[:, sl])
-            nibs.append(nib)
-            cums.append(cum)
-            wpre.append(wpre[-1] + cum[:, 127:128])
+            cpacks[pi] = cum
+        wpre = [jnp.zeros((128, 1), jnp.int32)]
+        for w in range(CW):
+            wc = (cpacks[w // 3][:, 127:128] >> (10 * (w % 3))) & 1023
+            wpre.append(wpre[-1] + wc)
         max_cnt = jnp.max(wpre[CW])
 
         for oc in range(ORP // 128):
@@ -1090,13 +1107,22 @@ def _k4_kernel(sym_ref, val_ref, out_ref, *, cells_p, cells_pp, ORP, RT):
                     wsel = jnp.where(
                         ge, jnp.broadcast_to(wpre[w], (128, 128)), wsel)
                 qm = [q == w for w in range(1, CW)]
+                # pack index + field shift of each element's window
+                qp3 = jnp.zeros((128, 128), jnp.int32)
+                for w in range(3, CW, 3):
+                    qp3 = qp3 + (q >= w).astype(jnp.int32)
+                shc = (q - 3 * qp3) * 10
+                qp8 = jnp.zeros((128, 128), jnp.int32)
+                for w in range(8, CW, 8):
+                    qp8 = qp8 + (q >= w).astype(jnp.int32)
+                shn = (q - 8 * qp8) * 4
 
-                def sel(arrs, idx):
-                    g = jnp.take_along_axis(arrs[0], idx, axis=1)
-                    for w in range(1, CW):
+                def selp(packs, qp, idx):
+                    g = jnp.take_along_axis(packs[0], idx, axis=1)
+                    for pi in range(1, len(packs)):
                         g = jnp.where(
-                            qm[w - 1],
-                            jnp.take_along_axis(arrs[w], idx, axis=1), g)
+                            qp == pi,
+                            jnp.take_along_axis(packs[pi], idx, axis=1), g)
                     return g
 
                 want = i_vec - wsel + 1      # 1-based in-window rank
@@ -1104,11 +1130,16 @@ def _k4_kernel(sym_ref, val_ref, out_ref, *, cells_p, cells_pp, ORP, RT):
                 t = 64
                 while t:
                     npos = pos + t
-                    pos = jnp.where(sel(cums, npos - 1) < want, npos, pos)
+                    c = (selp(cpacks, qp3, npos - 1) >> shc) & 1023
+                    pos = jnp.where(c < want, npos, pos)
                     t >>= 1
-                cell = sel(syms, pos)
-                nibg = sel(nibs, pos)
-                cumg = sel(cums, pos)
+                cumg = (selp(cpacks, qp3, pos) >> shc) & 1023
+                nibg = (selp(npacks, qp8, pos) >> shn) & 15
+                cell = jnp.take_along_axis(syms[0], pos, axis=1)
+                for w in range(1, CW):
+                    cell = jnp.where(
+                        qm[w - 1],
+                        jnp.take_along_axis(syms[w], pos, axis=1), cell)
                 q1 = nibg & 1
                 q2 = q1 + ((nibg >> 1) & 1)
                 q3 = q2 + ((nibg >> 2) & 1)
