@@ -461,18 +461,31 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
         recC[...] = zc
         cumMC[...] = zc
 
-    # candidate liveness per *chain group*: a lone unmerged chain (e.g. a
-    # phase-locked run that defers self-sync for hundreds of rows) then
-    # keeps only its ~6-chain group walking instead of all CH chains
-    GRP = 6
-    NGRP = max(1, -(-CH // GRP))
+    # Candidate liveness per *chain group*, groups = start-row residue
+    # classes mod md (sub-split to <= 6 chains), laid out contiguously in
+    # scratch: a phase-locked run (e.g. an 'abab' stretch with 2-bit
+    # codes) defers self-sync for a whole residue class at once, so
+    # residue-pure groups let the merged classes gate off while only the
+    # locked class keeps walking.  Scratch index ci holds the chain
+    # starting at row SROWS[ci]; candidate-map slot = start row (= the
+    # entry offset the chain represents).
+    mdg = max(md, 1)
+    SROWS = []
+    GROUPS = []  # (scratch base, first start row, chain count)
+    for p in range(mdg):
+        rows = [c + 1 for c in range(CH) if (c + 1) % mdg == p]
+        for j in range(0, len(rows), 6):
+            sub = rows[j:j + 6]
+            if sub:
+                GROUPS.append((len(SROWS), sub[0], len(sub)))
+                SROWS.extend(sub)
     lim_ok = (lim_ref[...] > s * SEG).astype(jnp.int32)
     glive = []
     live_any = jnp.int32(0)
-    for g in range(NGRP):
+    for (base, r0, n) in GROUPS:
         lg = jnp.int32(0)
-        for c in range(g * GRP, min((g + 1) * GRP, CH)):
-            lg = jnp.maximum(lg, jnp.max((1 - (recC[c] & 1)) * lim_ok))
+        for ci in range(base, base + n):
+            lg = jnp.maximum(lg, jnp.max((1 - (recC[ci] & 1)) * lim_ok))
         glive.append(lg)
         live_any = jnp.maximum(live_any, lg)
 
@@ -568,16 +581,16 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
         main_block(False, False)
 
     # ---- candidate pass (one gated region per chain group) ----------------
-    for g in range(NGRP):
-        c0g, c1g = g * GRP, min((g + 1) * GRP, CH)
-        CHg = c1g - c0g
+    for gi, (base, r0g, CHg) in enumerate(GROUPS):
+        c0g, c1g = base, base + CHg
 
-        @pl.when(glive[g] > 0)
-        def _cands(c0g=c0g, c1g=c1g, CHg=CHg):
+        @pl.when(glive[gi] > 0)
+        def _cands(c0g=c0g, c1g=c1g, CHg=CHg, r0g=r0g):
             tb0c = jnp.broadcast_to(tab_ref[0:1, :], (CHg * R, 128))
             tb1c = jnp.broadcast_to(tab_ref[1:2, :], (CHg * R, 128))
-            chain_of = jax.lax.broadcasted_iota(
-                jnp.int32, (CHg, R, 128), 0) + c0g
+            # start row of scratch chain ci = r0g + mdg*(ci - base)
+            srow = jax.lax.broadcasted_iota(
+                jnp.int32, (CHg, R, 128), 0) * mdg + r0g
 
             def body(i, carry):
                 node, cnt, rec, cum = carry
@@ -602,8 +615,8 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
                 rc = jnp.where(b1 > 0, C1, C0)
                 node_full = jnp.where(emit > 0, (1 - pos) * rc, e & 127)
                 alive = 1 - (rec & 1)
-                started = jnp.where(jbit >= chain_of + 1, 1, 0)
-                partial = jnp.where(chain_of == jbit, 1, 0)
+                started = jnp.where(jbit >= srow, 1, 0)
+                partial = jnp.where(srow == jbit + 1, 1, 0)
                 node = jnp.where(alive * started > 0, node_full, node)
                 node = jnp.where((alive * partial > 0) & ~pm,
                                  jnp.broadcast_to(rc, node.shape), node)
@@ -633,16 +646,18 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
         cntmap_ref[0] = cnt0[...]
         exmap_ref[0] = exit0[...]
         mrowmap_ref[0] = jnp.full((R, 128), -1, jnp.int32)
-        for c in range(CH):
-            rec = recC[c]
+        for ci, row in enumerate(SROWS):
+            # scratch chain ci starts at row `row` = its entry offset =
+            # its candidate-map slot
+            rec = recC[ci]
             mrg = (rec >> 1) & 1
             mrow = rec >> 2
-            cnt_tot = cntC[c] + mrg * (cnt0[...] - cumMC[c])
+            cnt_tot = cntC[ci] + mrg * (cnt0[...] - cumMC[ci])
             ex_tot = jnp.where(mrg > 0, exit0[...], mrow + 1 - B)
-            cntmap_ref[c + 1] = cnt_tot
-            exmap_ref[c + 1] = jnp.where(
+            cntmap_ref[row] = cnt_tot
+            exmap_ref[row] = jnp.where(
                 (rec & 1) > 0, ex_tot, jnp.zeros((R, 128), jnp.int32))
-            mrowmap_ref[c + 1] = jnp.where(
+            mrowmap_ref[row] = jnp.where(
                 mrg > 0, mrow, jnp.full((R, 128), steps, jnp.int32))
         for o in range(CH + 1, HP):
             cntmap_ref[o] = jnp.zeros((R, 128), jnp.int32)
