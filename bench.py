@@ -89,7 +89,7 @@ def _wide_candidate(td):
             G=p["G"], steps=p["steps"], steps_p=p["steps_p"], SEG=p["SEG"],
             UNROLL=p["UNROLL"], md=st["md"], Rg=p["Rg"], NG=p["NG"],
             ORP=p["ORP"], RB=p["RB"], C0=st["C0"], C1=st["C1"],
-            chunk2=st["chunk2"])
+            NS=st["NS"], chunk2=st["chunk2"])
         return fence, (denseT, n)
 
     def materialize(out):

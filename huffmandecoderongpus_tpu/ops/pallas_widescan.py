@@ -373,42 +373,58 @@ def k1_scan(bits3, tabw, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL, md,
 PAD2 = 4  # bits2 value marking a past-the-end chunk
 
 
+MAX_STATES_WIDE = 1023  # LaneDFA STATE_MASK bound; wide entries hold 15 bits
+
+
 def pack_quad_tables(dfa: LaneDFA):
-    """(2, 128) int32 quad tables + (C0, C1) root-child states.
-    Row b0 of the table, selected by the chunk's first bit; the second
-    bit picks the 16-bit half.  Requires md >= 2 (caller checks)."""
+    """(2 * NS, 128) int32 quad tables + (C0, C1, NS).  Row b0*NS + c
+    holds states [c*128, c*128+128), selected by the chunk's first bit;
+    the second bit picks the 16-bit half.  Requires md >= 2 (caller
+    checks).
+
+    Two 16-bit entry layouts: up to 127 states the compact layout
+    (sym<<8 | emit<<7 | pos, state in 7 low bits, non-emitting sym bits
+    zero — lets the kernels mask the next state unconditionally); beyond
+    that the *wide* layout (emit<<15 | sym<<1 | pos when emitting, bare
+    state <= 32767 otherwise) with one extra select per kernel step."""
     n_states = dfa.entry.shape[0] // 2
-    if n_states > MAX_STATES:
-        raise ValueError(f"{n_states} states > {MAX_STATES} (quad table)")
+    if n_states > MAX_STATES_WIDE:
+        raise ValueError(
+            f"{n_states} states > {MAX_STATES_WIDE} (wide quad table)")
+    big = n_states > MAX_STATES
+    NS = max(1, -(-n_states // 128))
     ent = dfa.entry.astype(np.int64)
 
-    def leaf16(e):
-        return int(((e >> 16) & 0xFF) << 8)
+    def emit16(e, pos):
+        sym = int((e >> 16) & 0xFF)
+        if big:
+            return 0x8000 | (sym << 1) | pos
+        return (sym << 8) | 0x80 | pos
 
     C = []
     for b in (0, 1):
         if ent[b] & EMIT_BIT:
             raise ValueError("md < 2: root child is a leaf")
         C.append(int(ent[b] & STATE_MASK))
-    # accumulate in int64: a sym >= 128 entry in the high half-word sets
-    # bit 31 (would overflow a python-int -> int32 store); the final
+    # accumulate in int64: a sign-bit-setting entry in the high
+    # half-word would overflow a python-int -> int32 store; the final
     # astype wraps to the int32 bit pattern the kernel expects
-    out = np.zeros((2, 128), dtype=np.int64)
+    out = np.zeros((2 * NS, 128), dtype=np.int64)
     for st in range(n_states):
         for b0 in (0, 1):
             e0 = ent[2 * st + b0]
             for b1 in (0, 1):
                 if e0 & EMIT_BIT:
-                    e16 = leaf16(e0) | 0x80 | 0
+                    e16 = emit16(e0, 0)
                 else:
                     s1 = int(e0 & STATE_MASK)
                     e1 = ent[2 * s1 + b1]
                     if e1 & EMIT_BIT:
-                        e16 = leaf16(e1) | 0x80 | 1
+                        e16 = emit16(e1, 1)
                     else:
                         e16 = int(e1 & STATE_MASK)
-                out[b0, st] |= e16 << (16 * b1)
-    return out.astype(np.uint32).view(np.int32), C[0], C[1]
+                out[b0 * NS + st // 128, st % 128] |= e16 << (16 * b1)
+    return out.astype(np.uint32).view(np.int32), C[0], C[1], NS
 
 
 def bits2_matrix(payload: np.ndarray, bits: int, G: int, B: int,
@@ -435,18 +451,52 @@ def bits2_matrix(payload: np.ndarray, bits: int, G: int, B: int,
     return np.ascontiguousarray(mat).reshape(steps_p // 2, R, 128)
 
 
+def _quad_word(tab_ref, NS, rows, node, b0=None):
+    """Quad-table words for each lane: table[.][node], NS 128-state
+    chunks (row b0*NS + c of tab_ref holds states [c*128, c*128+128)).
+    Returns the b0-selected word, or the (w0, w1) pair when b0 is None
+    (so callers can select at a broadcast-friendlier shape)."""
+    if NS == 1:
+        tb0 = jnp.broadcast_to(tab_ref[0:1, :], (rows, 128))
+        tb1 = jnp.broadcast_to(tab_ref[1:2, :], (rows, 128))
+        w0 = jnp.take_along_axis(tb0, node, axis=1)
+        w1 = jnp.take_along_axis(tb1, node, axis=1)
+    else:
+        nl = node & 127
+        nh = node >> 7
+        w0 = w1 = None
+        for c in range(NS):
+            t0 = jnp.broadcast_to(tab_ref[c:c + 1, :], (rows, 128))
+            t1 = jnp.broadcast_to(tab_ref[NS + c:NS + c + 1, :],
+                                  (rows, 128))
+            g0 = jnp.take_along_axis(t0, nl, axis=1)
+            g1 = jnp.take_along_axis(t1, nl, axis=1)
+            w0 = g0 if c == 0 else jnp.where(nh == c, g0, w0)
+            w1 = g1 if c == 0 else jnp.where(nh == c, g1, w1)
+    if b0 is None:
+        return w0, w1
+    return jnp.where(b0 > 0, w1, w0)
+
+
+def _e_fields(e, NS):
+    """(emit, pos, sym32, nst) of a 16-bit entry; layout per
+    pack_quad_tables (wide iff NS > 1).  ``sym32`` is only meaningful
+    under ``emit`` in the wide layout — callers already mask."""
+    if NS > 1:
+        return (e >> 15) & 1, e & 1, (e >> 1) & 0xFF, e & 0x7FFF
+    return (e >> 7) & 1, e & 1, e >> 8, e & 127
+
+
 def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
                 cntmap_ref, exmap_ref, mrowmap_ref,
                 node0, cnt0, done0, exit0, nodeC, cntC, recC, cumMC,
                 v_scr, cum_scr, *, B, H, steps, SEG, UNROLL, md, CH, HP,
-                RB, C0, C1):
+                RB, C0, C1, NS):
     """Chunked twin of _k1_kernel: same grid/specs, bits arrive paired
     (SEG//2 chunk rows per segment), v_scr holds the 0-chain's per-chunk
     emission position mask (emit << pos)."""
     R = RB
     s = pl.program_id(1)
-    tb0 = jnp.broadcast_to(tab_ref[0:1, :], (R, 128))
-    tb1 = jnp.broadcast_to(tab_ref[1:2, :], (R, 128))
 
     @pl.when(s == 0)
     def _init():
@@ -489,15 +539,13 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
         glive.append(lg)
         live_any = jnp.maximum(live_any, lg)
 
-    def chunk_entry(node, b):
+    def chunk_entry(node, b, rows=None):
         """One composite 2-bit lookup.  Returns (e, rc) with e the
         selected 16-bit entry (0 for pad) and rc the root child of the
         chunk's second bit."""
         b0 = b & 1
         b1 = (b >> 1) & 1
-        w0 = jnp.take_along_axis(tb0, node, axis=1)
-        w1 = jnp.take_along_axis(tb1, node, axis=1)
-        w = jnp.where(b0 > 0, w1, w0)
+        w = _quad_word(tab_ref, NS, rows or R, node, b0)
         e = (w >> (b1 << 4)) & 0xFFFF
         e = jnp.where(b >= PAD2, 0, e)
         rc = jnp.where(b1 > 0, C1, C0)
@@ -515,10 +563,8 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
                 jbit = s * SEG + 2 * lj2  # absolute bit of chunk start
                 b = bits_ref[lj2].astype(jnp.int32)
                 e, rc = chunk_entry(node, b)
-                emit = (e >> 7) & 1
-                pos = e & 1
-                sym32 = e >> 8
-                node = jnp.where(emit > 0, (1 - pos) * rc, e & 127)
+                emit, pos, sym32, nst = _e_fields(e, NS)
+                node = jnp.where(emit > 0, (1 - pos) * rc, nst)
                 if track_exit:
                     emit = emit * (1 - done)
                     exiting = emit * jnp.where(jbit + pos + 1 >= B, 1, 0)
@@ -586,8 +632,6 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
 
         @pl.when(glive[gi] > 0)
         def _cands(c0g=c0g, c1g=c1g, CHg=CHg, r0g=r0g):
-            tb0c = jnp.broadcast_to(tab_ref[0:1, :], (CHg * R, 128))
-            tb1c = jnp.broadcast_to(tab_ref[1:2, :], (CHg * R, 128))
             # start row of scratch chain ci = r0g + mdg*(ci - base)
             srow = jax.lax.broadcasted_iota(
                 jnp.int32, (CHg, R, 128), 0) * mdg + r0g
@@ -603,17 +647,14 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
                 v0m = v_scr[lj2][None]
                 cum0 = cum_scr[lj2][None]
                 n2 = node.reshape(CHg * R, 128)
-                w0 = jnp.take_along_axis(
-                    tb0c, n2, axis=1).reshape(CHg, R, 128)
-                w1 = jnp.take_along_axis(
-                    tb1c, n2, axis=1).reshape(CHg, R, 128)
-                w = jnp.where(b0 > 0, w1, w0)
+                w0, w1 = _quad_word(tab_ref, NS, CHg * R, n2)
+                w = jnp.where(b0 > 0, w1.reshape(CHg, R, 128),
+                              w0.reshape(CHg, R, 128))
                 e = (w >> (b1 << 4)) & 0xFFFF
                 e = jnp.where(pm, 0, e)
-                emit = (e >> 7) & 1
-                pos = e & 1
+                emit, pos, _sym, nst = _e_fields(e, NS)
                 rc = jnp.where(b1 > 0, C1, C0)
-                node_full = jnp.where(emit > 0, (1 - pos) * rc, e & 127)
+                node_full = jnp.where(emit > 0, (1 - pos) * rc, nst)
                 alive = 1 - (rec & 1)
                 started = jnp.where(jbit >= srow, 1, 0)
                 partial = jnp.where(srow == jbit + 1, 1, 0)
@@ -667,9 +708,9 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "B", "H", "G", "steps", "steps_p", "SEG", "UNROLL", "md", "RB",
-    "C0", "C1", "interpret"))
+    "C0", "C1", "NS", "interpret"))
 def k1_scan2(bits2, tabq, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL,
-             md, C0, C1, RB=0, interpret=False):
+             md, C0, C1, NS=1, RB=0, interpret=False):
     R = G // 128
     RB = min(RB or R, R)
     RG = R // RB
@@ -682,12 +723,12 @@ def k1_scan2(bits2, tabq, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL,
     cells_p = steps_p // md // CELL
     kern = functools.partial(
         _k1_kernel2, B=B, H=H, steps=steps, SEG=SEG, UNROLL=UNROLL,
-        md=md, CH=CH, HP=HP, RB=RB, C0=C0, C1=C1)
+        md=md, CH=CH, HP=HP, RB=RB, C0=C0, C1=C1, NS=NS)
     return pl.pallas_call(
         kern,
         grid=(RG, S),
         in_specs=[
-            pl.BlockSpec((2, 128), lambda rg, s: (0, 0),
+            pl.BlockSpec((2 * NS, 128), lambda rg, s: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((RB, 128), lambda rg, s: (rg, 0),
                          memory_space=pltpu.VMEM),
@@ -913,7 +954,7 @@ def k3_fix(bits3, tabw, ent2, cut2, cutsl2, sym, val, *, G, steps_p, SEG,
 
 def _k3_kernel2(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
                 symin_ref, valin_ref, sym_ref, val_ref, nodeF,
-                *, G, SEG, UNROLL, md, C0, C1):
+                *, G, SEG, UNROLL, md, C0, C1, NS):
     """Chunked twin of _k3_kernel (fix + splice; see there).  A lane
     whose entry bit is odd activates mid-chunk: that chunk consumes only
     its second bit, i.e. a root step to C0/C1 with no emission possible
@@ -921,8 +962,6 @@ def _k3_kernel2(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
     R = G // 128
     s = pl.program_id(0)
     slots_seg = SEG // md
-    tb0 = jnp.broadcast_to(tab_ref[0:1, :], (R, 128))
-    tb1 = jnp.broadcast_to(tab_ref[1:2, :], (R, 128))
 
     @pl.when(s == 0)
     def _init():
@@ -946,16 +985,12 @@ def _k3_kernel2(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
                 b = bits_ref[lj2].astype(jnp.int32)
                 b0 = b & 1
                 b1 = (b >> 1) & 1
-                w0 = jnp.take_along_axis(tb0, node, axis=1)
-                w1 = jnp.take_along_axis(tb1, node, axis=1)
-                w = jnp.where(b0 > 0, w1, w0)
+                w = _quad_word(tab_ref, NS, R, node, b0)
                 e = (w >> (b1 << 4)) & 0xFFFF
                 e = jnp.where(b >= PAD2, 0, e)
-                emit = (e >> 7) & 1
-                pos = e & 1
-                sym32 = e >> 8
+                emit, pos, sym32, nst = _e_fields(e, NS)
                 rc = jnp.where(b1 > 0, C1, C0)
-                node_full = jnp.where(emit > 0, (1 - pos) * rc, e & 127)
+                node_full = jnp.where(emit > 0, (1 - pos) * rc, nst)
                 started = jbit >= ent
                 partial = ent == jbit + 1
                 node = jnp.where(started, node_full, node)
@@ -1002,22 +1037,22 @@ def _k3_kernel2(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "G", "steps_p", "SEG", "UNROLL", "md", "C0", "C1", "interpret"))
+    "G", "steps_p", "SEG", "UNROLL", "md", "C0", "C1", "NS", "interpret"))
 def k3_fix2(bits2, tabq, ent2, cut2, cutsl2, sym, val, *, G, steps_p, SEG,
-            UNROLL, md, C0, C1, interpret=False):
+            UNROLL, md, C0, C1, NS=1, interpret=False):
     R = G // 128
     S = steps_p // SEG
     cells_seg = SEG // md // CELL
     cells_p = steps_p // md // CELL
     kern = functools.partial(_k3_kernel2, G=G, SEG=SEG, UNROLL=UNROLL,
-                             md=md, C0=C0, C1=C1)
+                             md=md, C0=C0, C1=C1, NS=NS)
     cell_spec = pl.BlockSpec((cells_seg, R, 128), lambda s: (s, 0, 0),
                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
         grid=(S,),
         in_specs=[
-            pl.BlockSpec((2, 128), lambda s: (0, 0),
+            pl.BlockSpec((2 * NS, 128), lambda s: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R, 128), lambda s: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -1204,22 +1239,24 @@ def _select_h(maps, idx, H):
 
 @functools.partial(jax.jit, static_argnames=(
     "B", "H", "G", "steps", "steps_p", "SEG", "UNROLL", "md", "Rg", "NG",
-    "ORP", "RB", "C0", "C1", "chunk2", "interpret"))
+    "ORP", "RB", "C0", "C1", "NS", "chunk2", "interpret"))
 def wide_decode_program(bits3, tabw, lim2, *, B, H, G, steps, steps_p, SEG,
-                        UNROLL, md, Rg, NG, ORP, RB=0, C0=0, C1=0,
+                        UNROLL, md, Rg, NG, ORP, RB=0, C0=0, C1=0, NS=1,
                         chunk2=False, interpret=False):
     """Full fused decode.  Returns (denseT (G, ORP) u8, n (G,) i32,
     total i32, fence i32).
 
     ``chunk2``: bits3 is a bits2_matrix of 2-bit chunks and tabw the
     pack_quad_tables word pair — every scan steps two bits at a time
-    (k-bit chunking, jumptableapproach.c:173-258 role)."""
+    (k-bit chunking, jumptableapproach.c:173-258 role).  ``NS``: number
+    of 128-state table chunks (trees beyond 127 internal states use the
+    wide entry layout; see pack_quad_tables)."""
     R = G // 128
     cells_p = steps_p // md // CELL
     if chunk2:
         sym, val, cntmap, exmap, mrowmap = k1_scan2(
             bits3, tabw, lim2, B=B, H=H, G=G, steps=steps, steps_p=steps_p,
-            SEG=SEG, UNROLL=UNROLL, md=md, C0=C0, C1=C1, RB=RB,
+            SEG=SEG, UNROLL=UNROLL, md=md, C0=C0, C1=C1, NS=NS, RB=RB,
             interpret=interpret)
     else:
         sym, val, cntmap, exmap, mrowmap = k1_scan(
@@ -1257,7 +1294,7 @@ def wide_decode_program(bits3, tabw, lim2, *, B, H, G, steps, steps_p, SEG,
         msym, mval = k3_fix2(bits3, tabw, entry.reshape(R, 128),
                              cut.reshape(R, 128), cut_slot.reshape(R, 128),
                              sym, val, G=G, steps_p=steps_p, SEG=SEG,
-                             UNROLL=UNROLL, md=md, C0=C0, C1=C1,
+                             UNROLL=UNROLL, md=md, C0=C0, C1=C1, NS=NS,
                              interpret=interpret)
     else:
         msym, mval = k3_fix(bits3, tabw, entry.reshape(R, 128),
@@ -1340,8 +1377,8 @@ def _plan(bits: int, H: int, md: int, lanes=None, avg_len=None):
 
 class EnvelopeError(ValueError):
     """The tree/geometry is outside the widescan program's envelope
-    (>127 states, md<2 without chunk-friendly fallback geometry, tiny
-    stream); callers fall back to another decoder."""
+    (>1023 states, >127 states on the md=1 1-bit path, tiny stream);
+    callers fall back to another decoder."""
 
 
 def stage_widescan_inputs(hf, lanes=None):
@@ -1357,17 +1394,23 @@ def stage_widescan_inputs(hf, lanes=None):
     dfa = build_lane_dfa(hf.tree)
     H = max(dfa.height, 1)
     md = max(dfa.min_depth, 1)
-    if dfa.entry.shape[0] // 2 > MAX_STATES:
-        raise EnvelopeError("tree exceeds the paired-table state limit")
+    n_states = dfa.entry.shape[0] // 2
+    if n_states > MAX_STATES_WIDE:
+        raise EnvelopeError("tree exceeds the wide quad-table state limit")
     if hf.bits < 1024 * max(H, 8):
         raise EnvelopeError("stream too small for the wide-lane program")
     avg = hf.bits / max(hf.uncompressed_size, 1)
     p = _plan(hf.bits, H, md, lanes=lanes, avg_len=avg)
     G = p["G"]
     chunk2 = md >= 2 and p["UNROLL"] % 2 == 0 and p["SEG"] % 2 == 0
+    if n_states > MAX_STATES and not chunk2:
+        # only the chunked kernels decode the wide entry layout; md=1
+        # trees this deep fall back to the round-1 decoder
+        raise EnvelopeError("deep tree outside the 1-bit paired-table limit")
     C0 = C1 = 0
+    NS = 1
     if chunk2:
-        tabq, C0, C1 = pack_quad_tables(dfa)
+        tabq, C0, C1, NS = pack_quad_tables(dfa)
         tabw = jnp.asarray(tabq)
         mat = bits2_matrix(hf.payload, hf.bits, G, p["B"], p["steps_p"])
     else:
@@ -1377,14 +1420,16 @@ def stage_widescan_inputs(hf, lanes=None):
     lim2 = jnp.asarray(
         np.clip(hf.bits - lane * p["B"], -(1 << 30), 1 << 30).astype(np.int32))
     return dict(plan=p, dfa=dfa, H=H, md=md, chunk2=chunk2, C0=C0, C1=C1,
-                tabw=tabw, bits=jnp.asarray(mat), lim2=lim2)
+                NS=NS, tabw=tabw, bits=jnp.asarray(mat), lim2=lim2)
 
 
 def decode_widescan(hf, lanes=None, check_size=True, interpret=False):
     """Wide-lane fused decode of a HuffFile to dense bytes.
 
-    Falls back to the round-1 Pallas path for tiny streams, >127-state
-    trees, or a lane overflowing the dense output buffer."""
+    Falls back to the round-1 Pallas path for tiny streams, trees beyond
+    the wide quad-table limit (1023 internal states; full byte alphabets
+    at 255 states stay on the fast path via chunked tables), or a lane
+    overflowing the dense output buffer."""
     def _fallback():
         from huffmandecoderongpus_tpu.ops.pallas_lanedfa import (
             decode_lanedfa_pallas,
@@ -1405,8 +1450,8 @@ def decode_widescan(hf, lanes=None, check_size=True, interpret=False):
         st["bits"], st["tabw"], st["lim2"], B=p["B"], H=H, G=G,
         steps=p["steps"], steps_p=p["steps_p"], SEG=p["SEG"],
         UNROLL=p["UNROLL"], md=md, Rg=p["Rg"], NG=p["NG"], ORP=p["ORP"],
-        RB=p["RB"], C0=st["C0"], C1=st["C1"], chunk2=st["chunk2"],
-        interpret=interpret)
+        RB=p["RB"], C0=st["C0"], C1=st["C1"], NS=st["NS"],
+        chunk2=st["chunk2"], interpret=interpret)
     if check_size and int(total) != hf.uncompressed_size:
         raise RuntimeError(
             f"decoded {int(total)} symbols, header says "

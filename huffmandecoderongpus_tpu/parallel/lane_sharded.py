@@ -262,7 +262,7 @@ def decode_lane_sharded(hf, mesh: Mesh | None = None,
 # so the multi-chip path produces dense bytes per shard.
 
 
-def _wide_shard_body(bits2_loc, tabq, lim_loc, *, plan, H, md, C0, C1,
+def _wide_shard_body(bits2_loc, tabq, lim_loc, *, plan, H, md, C0, C1, NS,
                      Gl, D, axis, NGl, Rgl, interpret):
     from huffmandecoderongpus_tpu.ops import pallas_widescan as ws
 
@@ -271,7 +271,7 @@ def _wide_shard_body(bits2_loc, tabq, lim_loc, *, plan, H, md, C0, C1,
     sym, val, cntmap, exmap, mrowmap = ws.k1_scan2(
         bits2_loc, tabq, lim_loc, B=p["B"], H=H, G=Gl, steps=p["steps"],
         steps_p=p["steps_p"], SEG=p["SEG"], UNROLL=p["UNROLL"], md=md,
-        C0=C0, C1=C1, RB=min(p["RB"], Rl), interpret=interpret)
+        C0=C0, C1=C1, NS=NS, RB=min(p["RB"], Rl), interpret=interpret)
     HP = cntmap.shape[0]
     cnt2 = cntmap.reshape(HP, Gl)
     mrow2 = mrowmap.reshape(HP, Gl)
@@ -314,7 +314,7 @@ def _wide_shard_body(bits2_loc, tabq, lim_loc, *, plan, H, md, C0, C1,
     msym, mval = ws.k3_fix2(
         bits2_loc, tabq, entry.reshape(Rl, 128), cut.reshape(Rl, 128),
         cut_slot.reshape(Rl, 128), sym, val, G=Gl, steps_p=p["steps_p"],
-        SEG=p["SEG"], UNROLL=p["UNROLL"], md=md, C0=C0, C1=C1,
+        SEG=p["SEG"], UNROLL=p["UNROLL"], md=md, C0=C0, C1=C1, NS=NS,
         interpret=interpret)
     denseT = ws.k4_compact(msym, mval, G=Gl,
                            cells_p=p["steps_p"] // md // ws.CELL,
@@ -328,14 +328,15 @@ def _wide_shard_body(bits2_loc, tabq, lim_loc, *, plan, H, md, C0, C1,
 
 @functools.lru_cache(maxsize=32)
 def _compiled_wide(mesh: Mesh, axis: str, plan_items, H: int, md: int,
-                   C0: int, C1: int, Gl: int, D: int, interpret: bool):
+                   C0: int, C1: int, NS: int, Gl: int, D: int,
+                   interpret: bool):
     plan = dict(plan_items)
     # composition group split for the per-shard K2 (same rule as _plan)
     NGl = 1 << ((Gl // 128).bit_length() // 2 + 3)
     NGl = min(NGl, Gl)
     Rgl = Gl // NGl
     body = functools.partial(_wide_shard_body, plan=plan, H=H, md=md,
-                             C0=C0, C1=C1, Gl=Gl, D=D, axis=axis,
+                             C0=C0, C1=C1, NS=NS, Gl=Gl, D=D, axis=axis,
                              NGl=NGl, Rgl=Rgl, interpret=interpret)
     # check_vma off: the Pallas-call-in-shard_map vma limitation (see
     # _compiled above)
@@ -352,9 +353,9 @@ def lane_sharded_wide_runner(hf, mesh: Mesh | None = None,
                              interpret: bool | None = None):
     """Stage the widescan-sharded decode; returns ``(run, materialize)``.
 
-    Requires a tree inside the widescan chunked envelope (<= 127 states,
-    min code length >= 2 with chunk-friendly geometry) — callers fall
-    back to ``lane_sharded_runner`` on ``EnvelopeError``."""
+    Requires a tree inside the widescan chunked envelope (<= 1023
+    states, min code length >= 2 with chunk-friendly geometry) — callers
+    fall back to ``lane_sharded_runner`` on ``EnvelopeError``."""
     from huffmandecoderongpus_tpu.ops import pallas_widescan as ws
 
     if mesh is None:
@@ -384,8 +385,8 @@ def lane_sharded_wide_runner(hf, mesh: Mesh | None = None,
     if interpret is None:
         interpret = mesh.devices.flat[0].platform != "tpu"
     fn = _compiled_wide(mesh, BLOCK_AXIS, tuple(sorted(p.items())),
-                        st["H"], st["md"], st["C0"], st["C1"], Gl, D,
-                        interpret)
+                        st["H"], st["md"], st["C0"], st["C1"], st["NS"],
+                        Gl, D, interpret)
     b2, tq, l2 = st["bits"], st["tabw"], st["lim2"]
     ORP = p["ORP"]
 

@@ -53,7 +53,7 @@ def main():
 
     kw = dict(B=p["B"], G=G, steps=p["steps"], steps_p=p["steps_p"],
               SEG=p["SEG"], UNROLL=p["UNROLL"], md=md, RB=p["RB"],
-              C0=st["C0"], C1=st["C1"])
+              C0=st["C0"], C1=st["C1"], NS=st["NS"])
     b3, tw, l2 = st["bits"], st["tabw"], st["lim2"]
 
     R = G // 128

@@ -63,8 +63,8 @@ def main():
     cells_p = p["steps_p"] // md // ws.CELL
 
     if st["chunk2"]:
-        k1 = functools.partial(ws.k1_scan2, C0=st["C0"], C1=st["C1"])
-        k3 = functools.partial(ws.k3_fix2, C0=st["C0"], C1=st["C1"])
+        k1 = functools.partial(ws.k1_scan2, C0=st["C0"], C1=st["C1"], NS=st["NS"])
+        k3 = functools.partial(ws.k3_fix2, C0=st["C0"], C1=st["C1"], NS=st["NS"])
     else:
         k1 = ws.k1_scan
         k3 = ws.k3_fix
@@ -121,7 +121,7 @@ def main():
     def full(bits3, tabw, lim2):
         return ws.wide_decode_program(
             bits3, tabw, lim2, Rg=p["Rg"], NG=p["NG"], ORP=p["ORP"],
-            C0=st["C0"], C1=st["C1"], chunk2=st["chunk2"], **kw)
+            C0=st["C0"], C1=st["C1"], NS=st["NS"], chunk2=st["chunk2"], **kw)
 
     b3, tw, l2 = st["bits"], st["tabw"], st["lim2"]
     t1 = timeit(lambda: upto_k1(b3, tw, l2), lambda o: o, fl)

@@ -53,8 +53,9 @@ def main():
     R = G // 128
     chunk2 = md >= 2 and p["UNROLL"] % 2 == 0 and p["SEG"] % 2 == 0
     C0 = C1 = 0
+    NS = 1
     if chunk2:
-        tabq, C0, C1 = ws.pack_quad_tables(dfa)
+        tabq, C0, C1, NS = ws.pack_quad_tables(dfa)
         tabw = jnp.asarray(tabq)
         mat = ws.bits2_matrix(hf.payload, hf.bits, G, p["B"], p["steps_p"])
     else:
@@ -68,7 +69,7 @@ def main():
     print(f"floor {fl*1e3:.1f} ms", flush=True)
     kw = dict(B=p["B"], H=H, G=G, steps=p["steps"], steps_p=p["steps_p"],
               SEG=p["SEG"], UNROLL=p["UNROLL"], md=md, RB=p["RB"])
-    kw1 = dict(kw, C0=C0, C1=C1) if chunk2 else kw
+    kw1 = dict(kw, C0=C0, C1=C1, NS=NS) if chunk2 else kw
     k1 = (lambda *a, **k2: ws.k1_scan2(*a, **k2)) if chunk2 else ws.k1_scan
 
     # --- stage 1: K1 alone --------------------------------------------------
@@ -89,7 +90,7 @@ def main():
         t0 = time.perf_counter()
         run = lambda: ws.wide_decode_program(
             bits3, tabw, lim2, Rg=p["Rg"], NG=p["NG"], ORP=p["ORP"],
-            C0=C0, C1=C1, chunk2=chunk2, **kw)
+            C0=C0, C1=C1, NS=NS, chunk2=chunk2, **kw)
         denseT, n, total, fence = run()
         np.asarray(fence)
         print(f"program compile+run ok ({time.perf_counter()-t0:.1f}s) "

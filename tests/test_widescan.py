@@ -171,6 +171,24 @@ def test_widescan_phase_locked_runs(rng):
     np.testing.assert_array_equal(out, data)
 
 
+def test_widescan_full_byte_alphabet_stays_wide(rng):
+    # a full 256-symbol alphabet has 255 internal states — beyond the
+    # 127-state compact table but inside the chunked *wide* layout
+    # (pack_quad_tables NS=2); must NOT fall back to the round-1 decoder
+    from huffmandecoderongpus_tpu.ops import pallas_widescan as ws
+
+    w = rng.random(256) ** 3 + 1e-4
+    raw = rng.choice(np.arange(256, dtype=np.uint8), size=60000,
+                     p=w / w.sum()).astype(np.uint8)
+    hf = encode_bytes(raw)
+    dfa = build_lane_dfa(hf.tree)
+    assert dfa.entry.shape[0] // 2 > ws.MAX_STATES
+    st = ws.stage_widescan_inputs(hf, lanes=1024)  # no EnvelopeError
+    assert st["NS"] >= 2 and st["chunk2"]
+    out = decode_widescan(hf, lanes=1024, interpret=True)
+    np.testing.assert_array_equal(out, raw)
+
+
 def test_widescan_high_symbols(rng):
     # symbols >= 128 put the sign bit in the quad table's high half-word
     # (pack_quad_tables once overflowed the int32 store; corpus files are
