@@ -177,43 +177,79 @@ def e1_pack(data3, lo_tab, hi_tab, *, K, G, SEG, interpret=False):
 
 
 def _e2_kernel(val_ref, gran_ref, out_ref, *, rows_p, ORP):
+    """Direct rank resolution with packed prefix sums (the decoder-K4
+    scheme): a window's count is <= 128, so FOUR windows' valid bits
+    pack into 8-bit fields of one int32 — one roll prefix pass covers 4
+    windows and each binary-search step is a single lane gather + a
+    variable field shift; 16-bit granules pack two windows per word for
+    the final fetch.  Out windows past every lane's count are skipped
+    (ranks are trimmed by counts downstream)."""
     W = rows_p // 128
     iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-    want = iota + 1
-    denses = []
-    wpre = [jnp.zeros((128, 1), jnp.int32)]
+    cpacks = []   # valid bits, 8-bit fields, 4 windows per word
+    gpacks = []   # granules, 16-bit fields, 2 windows per word
     for w in range(W):
         v = val_ref[:, w * 128:(w + 1) * 128].astype(jnp.int32)
-        cum = v
+        if w % 4 == 0:
+            cpacks.append(v)
+        else:
+            cpacks[-1] = cpacks[-1] | (v << (8 * (w % 4)))
+        g = gran_ref[:, w * 128:(w + 1) * 128] & 0xFFFF
+        if w % 2 == 0:
+            gpacks.append(g)
+        else:
+            gpacks[-1] = gpacks[-1] | (g << 16)
+    for pi in range(len(cpacks)):
+        cum = cpacks[pi]
         sh = 1
         while sh < 128:
             cum = cum + jnp.where(iota >= sh, pltpu.roll(cum, sh, axis=1), 0)
             sh <<= 1
-        pos = jnp.zeros((128, 128), jnp.int32)
-        t = 64
-        while t:
-            npos = pos + t
-            c = jnp.take_along_axis(cum, npos - 1, axis=1)
-            pos = jnp.where(c < want, npos, pos)
-            t >>= 1
-        g = gran_ref[:, w * 128:(w + 1) * 128]
-        denses.append(jnp.take_along_axis(g, jnp.minimum(pos, 127), axis=1))
-        wpre.append(wpre[-1] + cum[:, 127:128])
+        cpacks[pi] = cum
+    wpre = [jnp.zeros((128, 1), jnp.int32)]
+    for w in range(W):
+        wc = (cpacks[w // 4][:, 127:128] >> (8 * (w % 4))) & 0xFF
+        wpre.append(wpre[-1] + wc)
+    max_cnt = jnp.max(wpre[W])
 
     for oc in range(ORP // 128):
-        i_vec = iota + oc * 128
-        q = jnp.full((128, 128), oc, jnp.int32)
-        wsel = jnp.broadcast_to(wpre[oc], (128, 128))
-        for w in range(oc + 1, W):
-            ge = i_vec >= jnp.broadcast_to(wpre[w], (128, 128))
-            q = q + ge.astype(jnp.int32)
-            wsel = jnp.where(ge, jnp.broadcast_to(wpre[w], (128, 128)), wsel)
-        p = jnp.clip(i_vec - wsel, 0, 127)
-        out = jnp.zeros((128, 128), jnp.int32)
-        for w in range(oc, W):
-            cand = jnp.take_along_axis(denses[w], p, axis=1)
-            out = jnp.where(q == w, cand, out)
-        out_ref[:, oc * 128:(oc + 1) * 128] = out
+        @pl.when(max_cnt > oc * 128)
+        def _ow(oc=oc):
+            i_vec = iota + oc * 128
+            q = jnp.zeros((128, 128), jnp.int32)
+            wsel = jnp.zeros((128, 128), jnp.int32)
+            for w in range(1, W):
+                ge = i_vec >= jnp.broadcast_to(wpre[w], (128, 128))
+                q = q + ge.astype(jnp.int32)
+                wsel = jnp.where(
+                    ge, jnp.broadcast_to(wpre[w], (128, 128)), wsel)
+            qp4 = jnp.zeros((128, 128), jnp.int32)
+            for w in range(4, W, 4):
+                qp4 = qp4 + (q >= w).astype(jnp.int32)
+            shc = (q - 4 * qp4) * 8
+            qp2 = jnp.zeros((128, 128), jnp.int32)
+            for w in range(2, W, 2):
+                qp2 = qp2 + (q >= w).astype(jnp.int32)
+            shg = (q - 2 * qp2) * 16
+
+            def selp(packs, qp, idx):
+                g = jnp.take_along_axis(packs[0], idx, axis=1)
+                for pi in range(1, len(packs)):
+                    g = jnp.where(
+                        qp == pi,
+                        jnp.take_along_axis(packs[pi], idx, axis=1), g)
+                return g
+
+            want = i_vec - wsel + 1
+            pos = jnp.zeros((128, 128), jnp.int32)
+            t = 64
+            while t:
+                npos = pos + t
+                c = (selp(cpacks, qp4, npos - 1) >> shc) & 0xFF
+                pos = jnp.where(c < want, npos, pos)
+                t >>= 1
+            gg = (selp(gpacks, qp2, pos) >> shg) & 0xFFFF
+            out_ref[:, oc * 128:(oc + 1) * 128] = gg
 
 
 @functools.partial(jax.jit, static_argnames=("G", "rows_p", "ORP",
