@@ -1177,13 +1177,18 @@ def _k4_kernel(sym_ref, val_ref, out_ref, *, cells_p, cells_pp, ORP, RT):
 
                 want = i_vec - wsel + 1      # 1-based in-window rank
                 pos = jnp.zeros((128, 128), jnp.int32)
+                # cbelow tracks cum[pos-1] (exclusive prefix at the final
+                # pos) for free — it is exactly the last rejected probe —
+                # saving the post-search cum gather
+                cbelow = jnp.zeros((128, 128), jnp.int32)
                 t = 64
                 while t:
                     npos = pos + t
                     c = (selp(cpacks, qp3, npos - 1) >> shc) & 1023
-                    pos = jnp.where(c < want, npos, pos)
+                    take = c < want
+                    pos = jnp.where(take, npos, pos)
+                    cbelow = jnp.where(take, c, cbelow)
                     t >>= 1
-                cumg = (selp(cpacks, qp3, pos) >> shc) & 1023
                 nibg = (selp(npacks, qp8, pos) >> shn) & 15
                 cell = jnp.take_along_axis(syms[0], pos, axis=1)
                 for w in range(1, CW):
@@ -1193,8 +1198,7 @@ def _k4_kernel(sym_ref, val_ref, out_ref, *, cells_p, cells_pp, ORP, RT):
                 q1 = nibg & 1
                 q2 = q1 + ((nibg >> 1) & 1)
                 q3 = q2 + ((nibg >> 2) & 1)
-                c2g = q3 + ((nibg >> 3) & 1)
-                rc = (want - 1) - (cumg - c2g)   # rank within the cell
+                rc = (want - 1) - cbelow         # rank within the cell
                 p8 = ((rc >= q1).astype(jnp.int32)
                       + (rc >= q2) + (rc >= q3)) << 3
                 out_ref[r * 128:(r + 1) * 128, oc * 128:(oc + 1) * 128] = (
