@@ -306,14 +306,20 @@ def main(argv=None) -> None:
 
     if ns.test == "prof":
         # per-stage device timing breakdown (openclapproach.c event-profiling
-        # role); usage: prof [corpus] [speculative|lanedfa]
+        # role); usage: prof [corpus] [speculative|lanedfa|widescan]
         from huffmandecoderongpus_tpu.harness.profiling import (
-            format_report, profile_lanedfa, profile_speculative)
+            format_report, profile_lanedfa, profile_speculative,
+            profile_widescan)
 
         name = ns.args[0] if ns.args else "paper1"
         which = ns.args[1] if len(ns.args) > 1 else "lanedfa"
         td = corpus.load_test_data(name)
-        fn = profile_speculative if which.startswith("spec") else profile_lanedfa
+        if which.startswith("spec"):
+            fn = profile_speculative
+        elif which.startswith("wide"):
+            fn = profile_widescan
+        else:
+            fn = profile_lanedfa
         print(f"{which} stage breakdown on {name}:")
         print(format_report(fn(td.cd)))
         return

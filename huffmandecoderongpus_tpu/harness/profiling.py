@@ -129,6 +129,128 @@ def profile_lanedfa(hf, lanes: int | None = None, reps: int = 5) -> dict[str, fl
     return report
 
 
+def profile_widescan(hf, lanes: int | None = None,
+                     reps: int = 5) -> dict[str, float]:
+    """Stage breakdown of the wide-lane fused decoder (K1 scan+discovery /
+    K2 compose / K3 fix-splice / K4 compaction), by timing nested
+    prefixes of the program — each prefix is fenced on a scalar
+    data-dependent on its last kernel, and the deltas attribute time to
+    the stages without staging intermediates through the host."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from huffmandecoderongpus_tpu.ops import pallas_widescan as ws
+
+    st = ws.stage_widescan_inputs(hf, lanes=lanes)  # EnvelopeError -> caller
+    p = st["plan"]
+    H, md, G = st["H"], st["md"], p["G"]
+    R = G // 128
+    interp = jax.default_backend() != "tpu"  # off-TPU: interpret-mode run
+    kw = dict(B=p["B"], H=H, G=G, steps=p["steps"], steps_p=p["steps_p"],
+              SEG=p["SEG"], UNROLL=p["UNROLL"], md=md, RB=p["RB"],
+              interpret=interp)
+    if st["chunk2"]:
+        k1 = functools.partial(ws.k1_scan2, C0=st["C0"], C1=st["C1"],
+                               NS=st["NS"])
+        k3 = functools.partial(ws.k3_fix2, C0=st["C0"], C1=st["C1"],
+                               NS=st["NS"])
+    else:
+        k1, k3 = ws.k1_scan, ws.k3_fix
+
+    def upto_k3_parts(bits3, tabw, lim2):
+        sym, val, cntmap, exmap, mrowmap = k1(bits3, tabw, lim2, **kw)
+        HP = cntmap.shape[0]
+
+        def to_k2(m):
+            m2 = (m.reshape(HP, G).T.reshape(p["NG"], p["Rg"], HP)
+                  .transpose(1, 0, 2))
+            return jnp.pad(m2, ((0, 0), (0, 0), (0, 128 - HP)))
+
+        ent3, _ = ws.k2_compose(to_k2(exmap), jnp.zeros((1, 1), jnp.int32),
+                                Rg=p["Rg"], NG=p["NG"], interpret=interp)
+        entry = ent3[:, :, 0].T.reshape(G).astype(jnp.int32)
+        mrow_sel = ws._select_h(mrowmap.reshape(HP, G), entry, H)
+        cut = jnp.where(entry == 0, 0, mrow_sel + 1)
+        cut = jnp.where(lim2.reshape(G) > 0, cut, 0)
+        cut_slot = jnp.where(cut > 0, (cut - 1) // md + 1, 0)
+        msym, mval = k3(bits3, tabw, entry.reshape(R, 128),
+                        cut.reshape(R, 128), cut_slot.reshape(R, 128),
+                        sym, val, G=G, steps_p=p["steps_p"], SEG=p["SEG"],
+                        UNROLL=p["UNROLL"], md=md, interpret=interp)
+        return sym, val, cntmap, entry, msym, mval
+
+    @jax.jit
+    def upto_k1(bits3, tabw, lim2):
+        sym, val, cntmap, *_ = k1(bits3, tabw, lim2, **kw)
+        return cntmap[0, 0, 0] + sym[0, 0, 0].astype(jnp.int32)
+
+    @jax.jit
+    def upto_k2(bits3, tabw, lim2):
+        sym, val, cntmap, exmap, mrowmap = k1(bits3, tabw, lim2, **kw)
+        HP = cntmap.shape[0]
+        m2 = (exmap.reshape(HP, G).T.reshape(p["NG"], p["Rg"], HP)
+              .transpose(1, 0, 2))
+        ent3, _ = ws.k2_compose(jnp.pad(m2, ((0, 0), (0, 0), (0, 128 - HP))),
+                                jnp.zeros((1, 1), jnp.int32),
+                                Rg=p["Rg"], NG=p["NG"], interpret=interp)
+        return ent3[0, 0, 0] + sym[0, 0, 0].astype(jnp.int32)
+
+    @jax.jit
+    def upto_k3(bits3, tabw, lim2):
+        *_, msym, mval = upto_k3_parts(bits3, tabw, lim2)
+        return msym[0, 0, 0] + mval[0, 0, 0].astype(jnp.int32)
+
+    @jax.jit
+    def full(bits3, tabw, lim2):
+        return ws.wide_decode_program(
+            bits3, tabw, lim2, Rg=p["Rg"], NG=p["NG"], ORP=p["ORP"],
+            C0=st["C0"], C1=st["C1"], NS=st["NS"], chunk2=st["chunk2"],
+            **kw)[3]
+
+    b3, tw, l2 = st["bits"], st["tabw"], st["lim2"]
+
+    # device-protocol timing: the relay's fixed round-trip floor would
+    # otherwise swamp millisecond stages, so amortize K dispatches per
+    # fence and subtract the measured floor (cf. bench.py)
+    fj = jax.jit(lambda x: x + 1)
+    xj = jnp.zeros(8, jnp.int32)
+    _fence(fj(xj))
+    floors = []
+    for _ in range(8):
+        t0 = time.perf_counter()
+        _fence(fj(xj))
+        floors.append(time.perf_counter() - t0)
+    floor = min(floors)
+
+    def timed(fn):
+        out = fn(b3, tw, l2)
+        _fence(out)
+        K = 10
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(K):
+                out = fn(b3, tw, l2)
+            _fence(out)
+            dt = (time.perf_counter() - t0 - floor) / K
+            best = dt if best is None else min(best, dt)
+        return max(best, 0.0)
+
+    ts = {}
+    for key, fn in (("k1_scan_discovery", upto_k1), ("k2_compose", upto_k2),
+                    ("k3_fix_splice", upto_k3), ("k4_compact", full)):
+        ts[key] = timed(fn)
+    # nested prefixes -> per-stage deltas
+    report = {"k1_scan_discovery": ts["k1_scan_discovery"]}
+    report["k2_compose"] = max(ts["k2_compose"] - ts["k1_scan_discovery"], 0.0)
+    report["k3_fix_splice"] = max(ts["k3_fix_splice"] - ts["k2_compose"], 0.0)
+    report["k4_compact"] = max(ts["k4_compact"] - ts["k3_fix_splice"], 0.0)
+    report["total"] = ts["k4_compact"]
+    return report
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """`jax.profiler` trace context for full XLA timelines (view with
