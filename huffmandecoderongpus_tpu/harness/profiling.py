@@ -178,7 +178,8 @@ def profile_widescan(hf, lanes: int | None = None,
         msym, mval = k3(bits3, tabw, entry.reshape(R, 128),
                         cut.reshape(R, 128), cut_slot.reshape(R, 128),
                         sym, val, G=G, steps_p=p["steps_p"], SEG=p["SEG"],
-                        UNROLL=p["UNROLL"], md=md, interpret=interp)
+                        UNROLL=p["UNROLL"], md=md, RB=p["RB"],
+                        interpret=interp)
         return sym, val, cntmap, entry, msym, mval
 
     @jax.jit

@@ -841,7 +841,7 @@ def k2_compose(ex3, start, *, Rg, NG, interpret=False):
 
 def _k3_kernel(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
                symin_ref, valin_ref, sym_ref, val_ref, nodeF,
-               *, G, SEG, UNROLL, md):
+               *, G, SEG, UNROLL, md, RB):
     """Adaptive fix + splice scan: full-length grid, but a segment only
     *re-decodes* while some lane's splice window (cut) extends into it —
     merge rows are usually small, yet phase-locked runs of one short code
@@ -853,8 +853,11 @@ def _k3_kernel(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
     original at/above it) and every other segment copies its block
     through, so the outputs are the final spliced slot arrays and no XLA
     pass ever touches the full-size emissions again."""
-    R = G // 128
-    s = pl.program_id(0)
+    # grid = (row-groups, segments), segments innermost (cf. _k1_kernel):
+    # the replay gate is per row group, so one late-merging lane only
+    # replays its own RB rows instead of all G lanes
+    R = RB
+    s = pl.program_id(1)
     slots_seg = SEG // md
     tab_bc = jnp.broadcast_to(tab_ref[0:1, :], (R, 128))
 
@@ -914,29 +917,31 @@ def _k3_kernel(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "G", "steps_p", "SEG", "UNROLL", "md", "interpret"))
+    "G", "steps_p", "SEG", "UNROLL", "md", "RB", "interpret"))
 def k3_fix(bits3, tabw, ent2, cut2, cutsl2, sym, val, *, G, steps_p, SEG,
-           UNROLL, md, interpret=False):
+           UNROLL, md, RB=0, interpret=False):
     R = G // 128
+    RB = min(RB or R, R)
+    RG = R // RB
     S = steps_p // SEG
     cells_seg = SEG // md // CELL
     cells_p = steps_p // md // CELL
-    kern = functools.partial(_k3_kernel, G=G, SEG=SEG, UNROLL=UNROLL, md=md)
-    cell_spec = pl.BlockSpec((cells_seg, R, 128), lambda s: (s, 0, 0),
+    kern = functools.partial(_k3_kernel, G=G, SEG=SEG, UNROLL=UNROLL, md=md,
+                             RB=RB)
+    cell_spec = pl.BlockSpec((cells_seg, RB, 128), lambda rg, s: (s, rg, 0),
+                             memory_space=pltpu.VMEM)
+    lane_spec = pl.BlockSpec((RB, 128), lambda rg, s: (rg, 0),
                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
-        grid=(S,),
+        grid=(RG, S),
         in_specs=[
-            pl.BlockSpec((1, 128), lambda s: (0, 0),
+            pl.BlockSpec((1, 128), lambda rg, s: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 128), lambda s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 128), lambda s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 128), lambda s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((SEG, R, 128), lambda s: (s, 0, 0),
+            lane_spec,
+            lane_spec,
+            lane_spec,
+            pl.BlockSpec((SEG, RB, 128), lambda rg, s: (s, rg, 0),
                          memory_space=pltpu.VMEM),
             cell_spec,
             cell_spec,
@@ -946,7 +951,7 @@ def k3_fix(bits3, tabw, ent2, cut2, cutsl2, sym, val, *, G, steps_p, SEG,
             jax.ShapeDtypeStruct((cells_p, R, 128), jnp.int32),
             jax.ShapeDtypeStruct((cells_p, R, 128), jnp.uint8),
         ],
-        scratch_shapes=[pltpu.VMEM((R, 128), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((RB, 128), jnp.int32)],
         input_output_aliases={5: 0, 6: 1},
         interpret=interpret,
     )(tabw, ent2, cut2, cutsl2, bits3, sym, val)
@@ -954,13 +959,13 @@ def k3_fix(bits3, tabw, ent2, cut2, cutsl2, sym, val, *, G, steps_p, SEG,
 
 def _k3_kernel2(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
                 symin_ref, valin_ref, sym_ref, val_ref, nodeF,
-                *, G, SEG, UNROLL, md, C0, C1, NS):
+                *, G, SEG, UNROLL, md, C0, C1, NS, RB):
     """Chunked twin of _k3_kernel (fix + splice; see there).  A lane
     whose entry bit is odd activates mid-chunk: that chunk consumes only
     its second bit, i.e. a root step to C0/C1 with no emission possible
     (md >= 2)."""
-    R = G // 128
-    s = pl.program_id(0)
+    R = RB  # grid = (row-groups, segments); per-row-group replay gate
+    s = pl.program_id(1)
     slots_seg = SEG // md
 
     @pl.when(s == 0)
@@ -1037,30 +1042,32 @@ def _k3_kernel2(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "G", "steps_p", "SEG", "UNROLL", "md", "C0", "C1", "NS", "interpret"))
+    "G", "steps_p", "SEG", "UNROLL", "md", "C0", "C1", "NS", "RB",
+    "interpret"))
 def k3_fix2(bits2, tabq, ent2, cut2, cutsl2, sym, val, *, G, steps_p, SEG,
-            UNROLL, md, C0, C1, NS=1, interpret=False):
+            UNROLL, md, C0, C1, NS=1, RB=0, interpret=False):
     R = G // 128
+    RB = min(RB or R, R)
+    RG = R // RB
     S = steps_p // SEG
     cells_seg = SEG // md // CELL
     cells_p = steps_p // md // CELL
     kern = functools.partial(_k3_kernel2, G=G, SEG=SEG, UNROLL=UNROLL,
-                             md=md, C0=C0, C1=C1, NS=NS)
-    cell_spec = pl.BlockSpec((cells_seg, R, 128), lambda s: (s, 0, 0),
+                             md=md, C0=C0, C1=C1, NS=NS, RB=RB)
+    cell_spec = pl.BlockSpec((cells_seg, RB, 128), lambda rg, s: (s, rg, 0),
+                             memory_space=pltpu.VMEM)
+    lane_spec = pl.BlockSpec((RB, 128), lambda rg, s: (rg, 0),
                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
-        grid=(S,),
+        grid=(RG, S),
         in_specs=[
-            pl.BlockSpec((2 * NS, 128), lambda s: (0, 0),
+            pl.BlockSpec((2 * NS, 128), lambda rg, s: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 128), lambda s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 128), lambda s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 128), lambda s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((SEG // 2, R, 128), lambda s: (s, 0, 0),
+            lane_spec,
+            lane_spec,
+            lane_spec,
+            pl.BlockSpec((SEG // 2, RB, 128), lambda rg, s: (s, rg, 0),
                          memory_space=pltpu.VMEM),
             cell_spec,
             cell_spec,
@@ -1070,7 +1077,7 @@ def k3_fix2(bits2, tabq, ent2, cut2, cutsl2, sym, val, *, G, steps_p, SEG,
             jax.ShapeDtypeStruct((cells_p, R, 128), jnp.int32),
             jax.ShapeDtypeStruct((cells_p, R, 128), jnp.uint8),
         ],
-        scratch_shapes=[pltpu.VMEM((R, 128), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((RB, 128), jnp.int32)],
         input_output_aliases={5: 0, 6: 1},
         interpret=interpret,
     )(tabq, ent2, cut2, cutsl2, bits2, sym, val)
@@ -1299,12 +1306,12 @@ def wide_decode_program(bits3, tabw, lim2, *, B, H, G, steps, steps_p, SEG,
                              cut.reshape(R, 128), cut_slot.reshape(R, 128),
                              sym, val, G=G, steps_p=steps_p, SEG=SEG,
                              UNROLL=UNROLL, md=md, C0=C0, C1=C1, NS=NS,
-                             interpret=interpret)
+                             RB=RB, interpret=interpret)
     else:
         msym, mval = k3_fix(bits3, tabw, entry.reshape(R, 128),
                             cut.reshape(R, 128), cut_slot.reshape(R, 128),
                             sym, val, G=G, steps_p=steps_p, SEG=SEG,
-                            UNROLL=UNROLL, md=md, interpret=interpret)
+                            UNROLL=UNROLL, md=md, RB=RB, interpret=interpret)
     denseT = k4_compact(msym, mval, G=G, cells_p=cells_p, ORP=ORP,
                         interpret=interpret)
     # fence: a 1-element value data-dependent on the LAST kernel's output,

@@ -315,7 +315,7 @@ def _wide_shard_body(bits2_loc, tabq, lim_loc, *, plan, H, md, C0, C1, NS,
         bits2_loc, tabq, entry.reshape(Rl, 128), cut.reshape(Rl, 128),
         cut_slot.reshape(Rl, 128), sym, val, G=Gl, steps_p=p["steps_p"],
         SEG=p["SEG"], UNROLL=p["UNROLL"], md=md, C0=C0, C1=C1, NS=NS,
-        interpret=interpret)
+        RB=min(p["RB"], Rl), interpret=interpret)
     denseT = ws.k4_compact(msym, mval, G=Gl,
                            cells_p=p["steps_p"] // md // ws.CELL,
                            ORP=p["ORP"], interpret=interpret)

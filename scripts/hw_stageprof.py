@@ -109,7 +109,7 @@ def main():
         msym, mval = k3(bits3, tabw, entry.reshape(R, 128),
                         cut.reshape(R, 128), cut_slot.reshape(R, 128),
                         sym, val, G=G, steps_p=p["steps_p"], SEG=p["SEG"],
-                        UNROLL=p["UNROLL"], md=md)
+                        UNROLL=p["UNROLL"], md=md, RB=p["RB"])
         return msym, mval, n
 
     @jax.jit
