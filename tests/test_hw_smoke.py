@@ -38,6 +38,21 @@ print("widescan OK", flush=True)
 out = decode_lanedfa_pallas(td.cd)
 assert np.array_equal(out, td.ucd), "lanedfa_pallas mismatch on hardware"
 print("lanedfa_pallas OK", flush=True)
+
+# wide-table envelope: a full-byte alphabet (NS=2 chunked tables, wide
+# entry layout) must stay on the widescan path and stay bit-exact
+from huffmandecoderongpus_tpu.huffio.encoder import encode_bytes
+from huffmandecoderongpus_tpu.ops import pallas_widescan as ws
+rng = np.random.default_rng(3)
+w = rng.random(256) ** 4 + 1e-5
+raw = rng.choice(np.arange(256, dtype=np.uint8), size=400_000,
+                 p=w / w.sum()).astype(np.uint8)
+hf = encode_bytes(raw)
+st = ws.stage_widescan_inputs(hf)
+assert st["NS"] >= 2, "expected the wide-table path"
+out = ws.decode_widescan(hf)
+assert np.array_equal(out, raw), "wide-table widescan mismatch on hardware"
+print("widescan wide-table OK", flush=True)
 """
 
 
@@ -55,3 +70,4 @@ def test_pallas_kernels_on_hardware():
         f"stderr:\n{proc.stderr[-3000:]}")
     assert "widescan OK" in proc.stdout
     assert "lanedfa_pallas OK" in proc.stdout
+    assert "widescan wide-table OK" in proc.stdout
