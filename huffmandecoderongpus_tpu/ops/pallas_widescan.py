@@ -1350,7 +1350,16 @@ def _plan(bits: int, H: int, md: int, lanes=None, avg_len=None):
         if xi * xi > 2 << (2 * p2):  # xi > sqrt(2)*2^p2 -> round up
             p2 += 1
         G = 1 << p2
-        G = max(1024, min(G, 1 << 14))
+        # narrow-vector floor (re-swept 2026-08-18 after the compaction
+        # rework): small streams were K1-latency-bound at few sublane
+        # rows — news/paper1/book2 measured 15-40% faster at 4096 lanes
+        # — so prefer >= 4096 lanes while each lane keeps a comfortable
+        # bit count (the compaction that once penalized short lanes is
+        # now count-gated and cheap)
+        G = max(4096, min(G, 1 << 14))
+        while G > 1024 and bits // G < max(2 * SEG, 2 * H):
+            G //= 2
+        G = max(1024, G)
     else:
         # floor 512: Mosaic's lane-axis dynamic_gather mis-lowers at one
         # sublane row ("Shape mismatch in input, indices and output",
