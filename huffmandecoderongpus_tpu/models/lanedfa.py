@@ -55,4 +55,12 @@ def lane_wide(hf, param=None) -> np.ndarray:
     from huffmandecoderongpus_tpu.ops.pallas_widescan import decode_widescan
 
     interpret = jax.default_backend() not in ("tpu",)
+    # A `.huffidx` sidecar is NOT auto-used here: the indexed program
+    # (ops.pallas_widescan.decode_widescan_indexed) skips discovery but
+    # pads every lane to the longest block's bit length, and its
+    # gather-based host staging outweighs the device-side savings in
+    # this whole-wrapper protocol (measured 2x slower wall even on
+    # phase-locked streams where discovery's tail is worst).  It remains
+    # the right tool under the staged device protocol — bounded
+    # worst-case with no self-sync tail — via the ops API.
     return decode_widescan(hf, lanes=param, interpret=interpret)

@@ -491,7 +491,7 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
                 cntmap_ref, exmap_ref, mrowmap_ref,
                 node0, cnt0, done0, exit0, nodeC, cntC, recC, cumMC,
                 v_scr, cum_scr, *, B, H, steps, SEG, UNROLL, md, CH, HP,
-                RB, C0, C1, NS):
+                RB, C0, C1, NS, discover=True):
     """Chunked twin of _k1_kernel: same grid/specs, bits arrive paired
     (SEG//2 chunk rows per segment), v_scr holds the 0-chain's per-chunk
     emission position mask (emit << pos)."""
@@ -522,13 +522,14 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
     mdg = max(md, 1)
     SROWS = []
     GROUPS = []  # (scratch base, first start row, chain count)
-    for p in range(mdg):
-        rows = [c + 1 for c in range(CH) if (c + 1) % mdg == p]
-        for j in range(0, len(rows), 6):
-            sub = rows[j:j + 6]
-            if sub:
-                GROUPS.append((len(SROWS), sub[0], len(sub)))
-                SROWS.extend(sub)
+    if discover:  # indexed lanes all start at codeword boundaries:
+        for p in range(mdg):  # no candidate chains at all
+            rows = [c + 1 for c in range(CH) if (c + 1) % mdg == p]
+            for j in range(0, len(rows), 6):
+                sub = rows[j:j + 6]
+                if sub:
+                    GROUPS.append((len(SROWS), sub[0], len(sub)))
+                    SROWS.extend(sub)
     lim_ok = (lim_ref[...] > s * SEG).astype(jnp.int32)
     glive = []
     live_any = jnp.int32(0)
@@ -708,9 +709,9 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "B", "H", "G", "steps", "steps_p", "SEG", "UNROLL", "md", "RB",
-    "C0", "C1", "NS", "interpret"))
+    "C0", "C1", "NS", "discover", "interpret"))
 def k1_scan2(bits2, tabq, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL,
-             md, C0, C1, NS=1, RB=0, interpret=False):
+             md, C0, C1, NS=1, RB=0, discover=True, interpret=False):
     R = G // 128
     RB = min(RB or R, R)
     RG = R // RB
@@ -723,7 +724,7 @@ def k1_scan2(bits2, tabq, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL,
     cells_p = steps_p // md // CELL
     kern = functools.partial(
         _k1_kernel2, B=B, H=H, steps=steps, SEG=SEG, UNROLL=UNROLL,
-        md=md, CH=CH, HP=HP, RB=RB, C0=C0, C1=C1, NS=NS)
+        md=md, CH=CH, HP=HP, RB=RB, C0=C0, C1=C1, NS=NS, discover=discover)
     return pl.pallas_call(
         kern,
         grid=(RG, S),
@@ -1480,6 +1481,150 @@ def decode_widescan(hf, lanes=None, check_size=True, interpret=False):
     counts = np.asarray(n)
     if counts.max(initial=0) > p["ORP"]:
         return _fallback()  # a lane overflowed the dense buffer
+    mask = np.arange(p["ORP"])[None, :] < counts[:, None]
+    out = dense[mask]
+    if check_size and out.size != hf.uncompressed_size:
+        raise RuntimeError(
+            f"emitted {out.size} symbols, header says {hf.uncompressed_size}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Indexed decode: `.huffidx` sidecar defines the lanes
+
+def bits2_matrix_indexed(payload: np.ndarray, bits: int, offsets: np.ndarray,
+                         lens: np.ndarray, G: int, steps_p: int):
+    """(steps_p//2, R, 128) uint8 2-bit chunks for *index-defined* lanes:
+    lane g covers stream bits [offsets[g], offsets[g]+lens[g]); chunks
+    past a lane's length hold PAD2.
+
+    One chunk-level gather from two parity-phased packed streams (lane
+    offsets have arbitrary parity) instead of a bit-level matrix — 4x
+    less host staging work.  A lane of odd length keeps the *stream's*
+    next bit as its final chunk's second bit: harmless, because blocks
+    end at symbol boundaries, so that chunk's first bit completes a
+    codeword and emitting composite entries ignore the second bit
+    (pack_quad_tables encodes at most one emission per chunk)."""
+    from huffmandecoderongpus_tpu.huffio.bitio import unpack_bits
+
+    R = G // 128
+    nb = offsets.shape[0]
+    half = steps_p // 2
+    n_ext = bits + 2 * steps_p + 4
+    n_ext += n_ext & 1  # even length: the strided halves line up
+    ext = np.zeros(n_ext + 1, dtype=np.uint8)
+    ext[:bits] = unpack_bits(payload, bits)
+    even = (ext[0:n_ext:2] | (ext[1:n_ext:2] << 1)).astype(np.uint8)
+    odd = (ext[1:n_ext:2] | (ext[2:n_ext + 1:2] << 1)).astype(np.uint8)
+    flat = np.concatenate([even, odd])
+    offs = np.zeros(G, dtype=np.int64)
+    offs[:nb] = offsets
+    l = np.zeros(G, dtype=np.int64)
+    l[:nb] = lens
+    base = (offs >> 1) + (offs & 1) * even.shape[0]
+    mat = flat[base[None, :] + np.arange(half, dtype=np.int64)[:, None]]
+    # chunk row j covers lane bits 2j, 2j+1: pad once 2j is past the lane
+    mat[2 * np.arange(half)[:, None] >= l[None, :]] = PAD2
+    return np.ascontiguousarray(mat).reshape(half, R, 128)
+
+
+def stage_widescan_indexed(hf, offsets: np.ndarray, block_symbols: int):
+    """Stage the indexed fused decode: the `.huffidx` block boundaries
+    ARE the lane starts, so every lane begins at the DFA root and no
+    discovery, composition, or fix scan is needed; per-lane symbol
+    counts are exact from the index.  Raises EnvelopeError outside the
+    chunked envelope (md=1 trees, too few blocks, >1023 states)."""
+    from huffmandecoderongpus_tpu.ops.lanedfa import build_lane_dfa
+
+    dfa = build_lane_dfa(hf.tree)
+    H = max(dfa.height, 1)
+    md = max(dfa.min_depth, 1)
+    n_states = dfa.entry.shape[0] // 2
+    if n_states > MAX_STATES_WIDE:
+        raise EnvelopeError("tree exceeds the wide quad-table state limit")
+    if md < 2:
+        raise EnvelopeError("indexed widescan needs min code length >= 2")
+    offsets = np.asarray(offsets, dtype=np.int64)
+    nb = offsets.shape[0]
+    if nb < 128:
+        raise EnvelopeError("too few index blocks for the wide program")
+    if block_symbols > 1024:
+        # long blocks blow K4's VMEM blocking (cells_p x RT x 128 words
+        # + the (RT*128, ORP) out block must fit scoped VMEM); ~512
+        # symbols per block is also the measured throughput sweet spot
+        raise EnvelopeError("index blocks too long for the wide program")
+    ends = np.append(offsets[1:], hf.bits)
+    lens = ends - offsets
+    if np.any(lens < 0) or offsets[0] != 0:
+        raise ValueError("corrupt block index: offsets not increasing from 0")
+    UNROLL = 4 * md
+    SEG = UNROLL * max(1, 32 // UNROLL)
+    B = int(lens.max(initial=1))
+    steps_p = -(-B // SEG) * SEG
+    # 1024-lane floor: K4's 8-row tiling (RT=8) and the Mosaic gather
+    # row minimums want R a multiple of 8; excess lanes are all-PAD
+    G = max(1024, -(-nb // 1024) * 1024)
+    R = G // 128
+    # K1's row-group blocking requires RB | R (G is not a power of two
+    # here, so 32 need not divide R)
+    RB = 32 if R % 32 == 0 else (16 if R % 16 == 0 else 8)
+    n = np.zeros(G, dtype=np.int32)
+    n[:nb] = block_symbols
+    n[nb - 1] = hf.uncompressed_size - (nb - 1) * block_symbols
+    if n[nb - 1] < 0 or n[:nb].max(initial=0) > block_symbols:
+        raise ValueError("block index inconsistent with the header")
+    ORP = -(-block_symbols // 128) * 128
+    tabq, C0, C1, NS = pack_quad_tables(dfa)
+    mat = bits2_matrix_indexed(hf.payload, hf.bits, offsets, lens, G,
+                               steps_p)
+    lim2 = np.zeros((R, 128), dtype=np.int32)
+    lim2.reshape(-1)[:nb] = lens.astype(np.int32)
+    return dict(plan=dict(B=steps_p, steps=steps_p, steps_p=steps_p,
+                          SEG=SEG, UNROLL=UNROLL, G=G, RB=RB, ORP=ORP),
+                H=H, md=md, C0=C0, C1=C1, NS=NS, tabw=jnp.asarray(tabq),
+                bits=jnp.asarray(mat), lim2=jnp.asarray(lim2),
+                counts=n, nb=nb)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "B", "H", "G", "steps_p", "SEG", "UNROLL", "md", "RB", "ORP",
+    "C0", "C1", "NS", "interpret"))
+def wide_decode_indexed_program(bits2, tabq, lim2, *, B, H, G, steps_p, SEG,
+                                UNROLL, md, RB, ORP, C0, C1, NS,
+                                interpret=False):
+    """Indexed fused decode: K1 main scan only (``discover=False`` skips
+    the candidate machinery entirely) straight into K4 compaction.
+    Returns (denseT (G, ORP) u8, fence)."""
+    sym, val, *_ = k1_scan2(
+        bits2, tabq, lim2, B=B, H=H, G=G, steps=steps_p, steps_p=steps_p,
+        SEG=SEG, UNROLL=UNROLL, md=md, C0=C0, C1=C1, NS=NS, RB=RB,
+        discover=False, interpret=interpret)
+    cells_p = steps_p // md // CELL
+    denseT = k4_compact(sym, val, G=G, cells_p=cells_p, ORP=ORP,
+                        interpret=interpret)
+    fence = denseT[0, 0].astype(jnp.int32) + denseT[G - 1, 0].astype(
+        jnp.int32)
+    return denseT, fence
+
+
+def decode_widescan_indexed(hf, offsets, block_symbols: int,
+                            check_size: bool = True,
+                            interpret: bool = False) -> np.ndarray:
+    """Widescan decode with a `.huffidx` sidecar: index blocks are the
+    lanes, so the program is the main scan + dense compaction — no
+    discovery, no composition, no fix scan; counts are exact from the
+    index.  Raises EnvelopeError for callers to fall back."""
+    st = stage_widescan_indexed(hf, offsets, block_symbols)
+    p = st["plan"]
+    if block_symbols > p["ORP"]:
+        raise EnvelopeError("index blocks overflow the dense buffer")
+    denseT, _fence = wide_decode_indexed_program(
+        st["bits"], st["tabw"], st["lim2"], B=p["B"], H=st["H"], G=p["G"],
+        steps_p=p["steps_p"], SEG=p["SEG"], UNROLL=p["UNROLL"], md=st["md"],
+        RB=p["RB"], ORP=p["ORP"], C0=st["C0"], C1=st["C1"], NS=st["NS"],
+        interpret=interpret)
+    dense = np.asarray(denseT)
+    counts = st["counts"]
     mask = np.arange(p["ORP"])[None, :] < counts[:, None]
     out = dense[mask]
     if check_size and out.size != hf.uncompressed_size:

@@ -189,6 +189,30 @@ def test_widescan_full_byte_alphabet_stays_wide(rng):
     np.testing.assert_array_equal(out, raw)
 
 
+def test_widescan_indexed(rng):
+    # a .huffidx sidecar turns the index blocks into the lanes: the
+    # program is main scan + compaction only (no discovery/compose/fix)
+    # with exact per-lane counts from the index
+    from huffmandecoderongpus_tpu.ops.pallas_widescan import (
+        decode_widescan_indexed,
+    )
+
+    probs = np.array([0.35, 0.2, 0.12, 0.1, 0.08, 0.06, 0.05, 0.04])
+    raw = rng.choice(np.arange(8, dtype=np.uint8), size=60000,
+                     p=probs / probs.sum()).astype(np.uint8)
+    hf = encode_bytes(raw, block_symbols=256)
+    offsets, k = hf.index
+    assert k == 256 and offsets.shape[0] == -(-raw.size // 256)
+    out = decode_widescan_indexed(hf, offsets, k, interpret=True)
+    np.testing.assert_array_equal(out, raw)
+    # odd-length blocks exercise the literal-0 chunk tail
+    raw2 = rng.choice(np.arange(8, dtype=np.uint8), size=50001,
+                      p=probs / probs.sum()).astype(np.uint8)
+    hf2 = encode_bytes(raw2, block_symbols=129)
+    out2 = decode_widescan_indexed(hf2, *hf2.index, interpret=True)
+    np.testing.assert_array_equal(out2, raw2)
+
+
 def test_widescan_high_symbols(rng):
     # symbols >= 128 put the sign bit in the quad table's high half-word
     # (pack_quad_tables once overflowed the int32 store; corpus files are
