@@ -213,6 +213,21 @@ def test_widescan_indexed(rng):
     np.testing.assert_array_equal(out2, raw2)
 
 
+def test_widescan_indexed_wide_table(rng):
+    # indexed decode through the NS=2 wide-table branch (full-byte
+    # alphabet, 255 internal states)
+    from huffmandecoderongpus_tpu.ops import pallas_widescan as ws
+
+    w = rng.random(256) ** 3 + 1e-4
+    raw = rng.choice(np.arange(256, dtype=np.uint8), size=60000,
+                     p=w / w.sum()).astype(np.uint8)
+    hf = encode_bytes(raw, block_symbols=256)
+    st = ws.stage_widescan_indexed(hf, *hf.index)
+    assert st["NS"] >= 2
+    out = ws.decode_widescan_indexed(hf, *hf.index, interpret=True)
+    np.testing.assert_array_equal(out, raw)
+
+
 def test_widescan_high_symbols(rng):
     # symbols >= 128 put the sign bit in the quad table's high half-word
     # (pack_quad_tables once overflowed the int32 store; corpus files are
