@@ -42,9 +42,12 @@ COMMANDS = ["encode", "decode", "verify", "info", "corpora", "decoders",
 def _device_decoders() -> list:
     """The device decoders filling the reference's opencl/fastgpu/
     fastgpuOpt1 suite slots: the speculative pipeline plus the optimized
-    lane-DFA builds."""
+    lane-DFA builds.  ``lane_dfa_sync`` (a slow XLA discovery diagnostic,
+    ~3 min per big-corpus verify on TPU) stays out of the recurring
+    suites; it remains in the registry (``decode --decoder
+    lane_dfa_sync``) and the per-commit tests."""
     registry = all_decoders()
-    names = [n for n in ("spec_xla", "lane_dfa_sync", "lane_dfa_pallas",
+    names = [n for n in ("spec_xla", "lane_dfa_pallas",
                          "lane_wide") if n in registry]
     return [registry[n] for n in names]
 
@@ -137,7 +140,7 @@ def run_suite(name: str, repeats: int = REPEATS) -> None:
         registry = all_decoders()
         base = evalandshow(registry["spec_xla"], td, repeats=repeats)
         best = None
-        for n in ("lane_wide", "lane_dfa_pallas", "lane_dfa_sync"):
+        for n in ("lane_wide", "lane_dfa_pallas"):
             if n in registry:
                 r = evalandshow(registry[n], td, repeats=repeats)
                 if best is None or r.min_seconds < best.min_seconds:
