@@ -98,6 +98,12 @@ def evaluate(decoder, td, withcheck: bool = True, repeats: int = REPEATS,
     """
     name = getattr(decoder, "name", getattr(decoder, "__name__", "decoder"))
     checks = getattr(decoder, "checks_output", True) and withcheck
+    dec_budget = getattr(decoder, "suite_budget_s", None)
+    if budget_s is not None and dec_budget is not None:
+        # per-decoder cap (models.Decoder.suite_budget_s): a known-slow
+        # cross-check decoder spends seconds, not the full default
+        # budget, per suite row
+        budget_s = min(budget_s, dec_budget)
     t = Timer()
     times = []
 

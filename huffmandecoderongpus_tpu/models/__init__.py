@@ -47,16 +47,23 @@ class Decoder:
     backend: str  # host-native | numpy | xla | xla-cpu | pallas | device
     param: Any = None  # reference's void* paramdata channel (e.g. jumpbits)
     checks_output: bool = True  # justreaddata doesn't produce bytes
+    #: Per-decoder cap on the harness timing-loop budget, seconds (None =
+    #: the harness default).  Lets suites keep a known-slow cross-check
+    #: decoder (spec_xla on the TPU gather cliff) as a one-run contrast
+    #: row instead of burning the full default budget per corpus.
+    suite_budget_s: float | None = None
 
     def __call__(self, hf, param=None) -> np.ndarray:
         return self.fn(hf, self.param if param is None else param)
 
 
-def register(name: str, backend: str, param: Any = None, checks_output: bool = True):
+def register(name: str, backend: str, param: Any = None, checks_output: bool = True,
+             suite_budget_s: float | None = None):
     def deco(fn):
         if name in _REGISTRY:
             raise ValueError(f"decoder {name!r} already registered")
-        _REGISTRY[name] = Decoder(name, fn, backend, param, checks_output)
+        _REGISTRY[name] = Decoder(name, fn, backend, param, checks_output,
+                                  suite_budget_s)
         return fn
 
     return deco

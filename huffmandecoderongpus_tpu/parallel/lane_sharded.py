@@ -41,6 +41,17 @@ from huffmandecoderongpus_tpu.ops.lanedfa import (
 )
 from huffmandecoderongpus_tpu.parallel.mesh import BLOCK_AXIS, make_mesh
 
+#: shard_map's collective-correctness checker on the Pallas shard bodies.
+#: pallas_call inside shard_map currently trips a varying-axis mismatch on
+#: the call's internal fori-loop carry block refs (the JAX error text
+#: itself recommends ``check_vma=False`` as a temporary workaround), so
+#: the two Pallas bodies run unchecked; the XLA body keeps the checker on.
+#: The exemption is TRACKED, not permanent: tests/test_parallel.py::
+#: test_pallas_shard_body_check_vma_upstream re-runs a Pallas shard body
+#: with the checker forced on and xfails until the toolchain lowers it —
+#: when that test starts passing, flip this to True and delete it.
+CHECK_VMA_PALLAS = False
+
 
 def _stitch(cnt, ex, d, *, H, Gl, D, axis):
     """Fold local lane maps into a shard map, all_gather the D x H shard
@@ -171,19 +182,16 @@ def _shard_body(bits_loc, tab, *, B, H, N, Gl, D, axis, pallas=False,
 
 @functools.lru_cache(maxsize=64)
 def _compiled(mesh: Mesh, axis: str, B: int, H: int, N: int, Gl: int, D: int,
-              pallas: bool, interpret: bool):
+              pallas: bool, interpret: bool, check_vma: bool):
     body = functools.partial(_shard_body, B=B, H=H, N=N, Gl=Gl, D=D,
                              axis=axis, pallas=pallas, interpret=interpret)
-    # check_vma: on for the XLA body; the Pallas body trips a JAX
-    # limitation (pallas_call's internal fori-carry block refs get
-    # mismatched varying axes — the error itself says to "pass the
-    # check_vma=False argument to jax.shard_map as a temporary
-    # workaround"), so the vma checker is disabled only there.
+    # check_vma: on for the XLA body; the Pallas body follows the tracked
+    # CHECK_VMA_PALLAS exemption (see the module constant).
     mapped = shard_map(
         body, mesh=mesh,
         in_specs=(P(None, axis), P()),
         out_specs=(P(None, axis), P(None, axis), P(axis), P(axis)),
-        check_vma=not pallas)
+        check_vma=check_vma)
     return jax.jit(mapped)
 
 
@@ -222,7 +230,8 @@ def lane_sharded_runner(hf, mesh: Mesh | None = None,
     interpret = pallas and not on_tpu
     mat, B = bits_matrix(hf.payload, hf.bits, G, H, round_to=512)
     fn = _compiled(mesh, BLOCK_AXIS, B, H, int(hf.bits), G // D, D,
-                   pallas, interpret)
+                   pallas, interpret,
+                   CHECK_VMA_PALLAS if pallas else True)
     tab = _pad_table(dfa.entry) if pallas else dfa.entry
     mat_j = jnp.asarray(mat)
     tab_j = jnp.asarray(tab)
@@ -329,7 +338,7 @@ def _wide_shard_body(bits2_loc, tabq, lim_loc, *, plan, H, md, C0, C1, NS,
 @functools.lru_cache(maxsize=32)
 def _compiled_wide(mesh: Mesh, axis: str, plan_items, H: int, md: int,
                    C0: int, C1: int, NS: int, Gl: int, D: int,
-                   interpret: bool):
+                   interpret: bool, check_vma: bool):
     plan = dict(plan_items)
     # composition group split for the per-shard K2 (same rule as _plan)
     NGl = 1 << ((Gl // 128).bit_length() // 2 + 3)
@@ -338,13 +347,13 @@ def _compiled_wide(mesh: Mesh, axis: str, plan_items, H: int, md: int,
     body = functools.partial(_wide_shard_body, plan=plan, H=H, md=md,
                              C0=C0, C1=C1, NS=NS, Gl=Gl, D=D, axis=axis,
                              NGl=NGl, Rgl=Rgl, interpret=interpret)
-    # check_vma off: the Pallas-call-in-shard_map vma limitation (see
-    # _compiled above)
+    # check_vma follows the tracked CHECK_VMA_PALLAS exemption (module
+    # constant above): pallas_call-in-shard_map vma limitation
     mapped = shard_map(
         body, mesh=mesh,
         in_specs=(P(None, axis, None), P(), P(axis, None)),
         out_specs=(P(axis, None), P(axis), P(axis), P(axis)),
-        check_vma=False)
+        check_vma=check_vma)
     return jax.jit(mapped)
 
 
@@ -386,7 +395,7 @@ def lane_sharded_wide_runner(hf, mesh: Mesh | None = None,
         interpret = mesh.devices.flat[0].platform != "tpu"
     fn = _compiled_wide(mesh, BLOCK_AXIS, tuple(sorted(p.items())),
                         st["H"], st["md"], st["C0"], st["C1"], st["NS"],
-                        Gl, D, interpret)
+                        Gl, D, interpret, CHECK_VMA_PALLAS)
     b2, tq, l2 = st["bits"], st["tabw"], st["lim2"]
     ORP = p["ORP"]
 

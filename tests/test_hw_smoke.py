@@ -56,18 +56,53 @@ print("widescan wide-table OK", flush=True)
 """
 
 
-def test_pallas_kernels_on_hardware():
+def _run_on_hw(prog: str, timeout_env: str, default_s: str):
     # fresh env minus any CPU overrides the test harness may have set, so
     # the environment's own device plugin selects the real backend
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
-    proc = subprocess.run(
-        [sys.executable, "-c", _PROG], env=env, capture_output=True,
-        text=True, timeout=int(os.environ.get("RUN_HW_TIMEOUT_S", "600")),
+    return subprocess.run(
+        [sys.executable, "-c", prog], env=env, capture_output=True,
+        text=True, timeout=int(os.environ.get(timeout_env, default_s)),
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_pallas_kernels_on_hardware():
+    proc = _run_on_hw(_PROG, "RUN_HW_TIMEOUT_S", "600")
     assert proc.returncode == 0, (
         f"hardware smoke failed\nstdout:\n{proc.stdout}\n"
         f"stderr:\n{proc.stderr[-3000:]}")
     assert "widescan OK" in proc.stdout
     assert "lanedfa_pallas OK" in proc.stdout
     assert "widescan wide-table OK" in proc.stdout
+
+
+_PROG_ALL = r"""
+import time
+import numpy as np
+import jax
+assert jax.devices()[0].platform == "tpu", jax.devices()
+from huffmandecoderongpus_tpu import data
+from huffmandecoderongpus_tpu.ops.pallas_widescan import decode_widescan
+
+t0 = time.monotonic()
+for name in data.available_corpora():
+    td = data.load_test_data(name)
+    out = decode_widescan(td.cd)
+    assert np.array_equal(out, td.ucd), f"lane_wide mismatch on {name}"
+    print(f"lane_wide {name} OK ({time.monotonic() - t0:.0f}s)", flush=True)
+print("lane_wide all-corpora OK", flush=True)
+"""
+
+
+def test_lane_wide_all_corpora_on_hardware():
+    """The flagship decoder decodes all 8 shipped corpora bit-exact on the
+    real chip — the committed version of what was a manual HW event in
+    round 2 (reference checks every benchmarked decoder on every suite
+    run, decodeUtil.c:47-52).  Budget: one compile per distinct plan
+    geometry + 8 decodes; minutes on the relay."""
+    proc = _run_on_hw(_PROG_ALL, "RUN_HW_ALL_TIMEOUT_S", "1200")
+    assert proc.returncode == 0, (
+        f"hardware corpus sweep failed\nstdout:\n{proc.stdout}\n"
+        f"stderr:\n{proc.stderr[-3000:]}")
+    assert "lane_wide all-corpora OK" in proc.stdout

@@ -156,3 +156,51 @@ def test_lane_sharded_wide_registry_fallback(hello):
     # fall back to the XLA lane_sharded path and still be exact
     out = get_decoder("lane_sharded_wide")(hello.cd)
     np.testing.assert_array_equal(out, hello.ucd)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_lane_sharded_wide_kjv_matches_unsharded(n_dev):
+    """Multi-chip evidence on a real big corpus: the widescan-sharded
+    program on an n-device virtual mesh reproduces the unsharded widescan
+    output on kjv, and the per-shard dense counts sum to the header size
+    (the role of the per-level convergence check, fastgpu.cu:245-261,
+    that the one exit-map collective replaced)."""
+    from huffmandecoderongpus_tpu.ops.pallas_widescan import decode_widescan
+    from huffmandecoderongpus_tpu.parallel.lane_sharded import (
+        lane_sharded_wide_runner,
+    )
+
+    td = corpus.load_test_data("kjv.txt")
+    run, materialize = lane_sharded_wide_runner(td.cd, mesh=make_mesh(n_dev))
+    denseT, n, total, _fence = run()
+    counts = np.asarray(n)
+    assert counts.size % n_dev == 0
+    per_shard = counts.reshape(n_dev, -1).sum(axis=1)
+    assert int(per_shard.sum()) == td.cd.uncompressed_size
+    assert int(np.asarray(total)[0]) == td.cd.uncompressed_size
+    out, tot = materialize((denseT, n, total, _fence))
+    assert tot == td.cd.uncompressed_size
+    np.testing.assert_array_equal(out, td.ucd)
+    # and the unsharded flagship program agrees byte-for-byte
+    np.testing.assert_array_equal(out, decode_widescan(td.cd))
+
+
+@pytest.mark.xfail(
+    strict=False,
+    reason="upstream JAX: pallas_call inside shard_map gets mismatched "
+           "varying axes on its internal fori-loop carry block refs; "
+           "the error text recommends check_vma=False as a temporary "
+           "workaround.  When this starts passing, set "
+           "lane_sharded.CHECK_VMA_PALLAS = True and delete this test.")
+def test_pallas_shard_body_check_vma_upstream(paper1, monkeypatch):
+    # re-run the widescan shard body with the collective-correctness
+    # checker forced ON (the tracked CHECK_VMA_PALLAS exemption)
+    from huffmandecoderongpus_tpu.parallel import lane_sharded as ls
+
+    monkeypatch.setattr(ls, "CHECK_VMA_PALLAS", True)
+    run, materialize = ls.lane_sharded_wide_runner(
+        paper1.cd, mesh=make_mesh(2), lanes=1024)
+    out, total = materialize(run())
+    assert total == paper1.cd.uncompressed_size
+    np.testing.assert_array_equal(out, paper1.ucd)
