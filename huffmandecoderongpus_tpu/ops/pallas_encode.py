@@ -16,11 +16,18 @@ instead (ops/pallas_widescan.py): no scatter anywhere.
   E2  compaction: the decoder's K4 window machinery on i32 values packs
       each lane's granules dense + per-lane counts.
   E3  placement: per-lane bit offsets (tiny host cumsum of G values)
-      give every lane a phase shift a = P % 16 and a window W = P // 16;
-      the shift runs on device (elementwise + neighbor roll); adjacent
-      lanes overlap in at most one granule whose bit ranges are disjoint,
-      so the final placement is two disjoint vectorized assignments + an
-      OR of the per-lane tail granules (host, no per-symbol work).
+      give every lane a phase shift a = P % 16 and a granule offset
+      W = P // 16; the shift runs on device (elementwise + neighbor
+      roll), then the placement kernel (e3_place) rotates each lane's
+      granule row to its offset and ORs it into the VMEM-resident
+      payload — adjacent lanes overlap in at most one granule whose bit
+      ranges are disjoint, so OR is exact and the whole payload is
+      assembled in HBM.  (Payloads beyond the VMEM-resident limit keep
+      the vectorized per-lane host placement, place_lanes.)
+
+Lane padding is positional (rows past a lane's symbol count pack zero
+bits), so full 256-symbol alphabets and arbitrarily small inputs run on
+device; the only host fallback is >26-bit codes (2x13-bit half limit).
 """
 
 from __future__ import annotations
@@ -82,7 +89,7 @@ def _lookup256(tab_ref, idx, R):
 # E1: pack scan
 
 
-def _e1_kernel(lo_ref, hi_ref, data_ref, gran_ref, gval_ref,
+def _e1_kernel(lo_ref, hi_ref, nval_ref, data_ref, gran_ref, gval_ref,
                cnt_ref, bits_ref, acc_s, nb_s, cnt_s, bl_s, *,
                G, SEG):
     R = G // 128
@@ -96,14 +103,20 @@ def _e1_kernel(lo_ref, hi_ref, data_ref, gran_ref, gval_ref,
         cnt_s[...] = z
         bl_s[...] = z
 
+    nval = nval_ref[...]
+
     def body(i, carry):
         acc, nb, cnt, bl = carry
         sym = data_ref[i].astype(jnp.int32)
+        # position-based padding: rows at or past the lane's real symbol
+        # count contribute zero bits — no reserved pad byte, so full
+        # 256-symbol alphabets encode on device
+        valid = (s * SEG + i) < nval
         e_lo = _lookup256(lo_ref, sym, R)
         e_hi = _lookup256(hi_ref, sym, R)
         for half, ent in ((0, e_lo), (1, e_hi)):
-            hbits = ent & ((1 << HALF) - 1)
-            hlen = ent >> HALF
+            hbits = jnp.where(valid, ent & ((1 << HALF) - 1), 0)
+            hlen = jnp.where(valid, ent >> HALF, 0)
             acc = acc | (hbits << nb)
             nb = nb + hlen
             bl = bl + hlen
@@ -131,9 +144,10 @@ def _e1_kernel(lo_ref, hi_ref, data_ref, gran_ref, gval_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("K", "G", "SEG", "interpret"))
-def e1_pack(data3, lo_tab, hi_tab, *, K, G, SEG, interpret=False):
-    """data3 (K, R, 128) u8 -> (gran (2K, R, 128) i32 of u16 values,
-    gval (2K, R, 128) u8, cnt (R, 128) i32, bits (R, 128) i32)."""
+def e1_pack(data3, lo_tab, hi_tab, nval2, *, K, G, SEG, interpret=False):
+    """data3 (K, R, 128) u8, nval2 (R, 128) i32 per-lane real symbol
+    counts -> (gran (2K, R, 128) i32 of u16 values, gval (2K, R, 128)
+    u8, cnt (R, 128) i32, bits (R, 128) i32)."""
     R = G // 128
     S = K // SEG
     kern = functools.partial(_e1_kernel, G=G, SEG=SEG)
@@ -143,6 +157,8 @@ def e1_pack(data3, lo_tab, hi_tab, *, K, G, SEG, interpret=False):
         in_specs=[
             pl.BlockSpec((2, 128), lambda s: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 128), lambda s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda s: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((SEG, R, 128), lambda s: (s, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -169,7 +185,7 @@ def e1_pack(data3, lo_tab, hi_tab, *, K, G, SEG, interpret=False):
             pltpu.VMEM((R, 128), jnp.int32),
         ],
         interpret=interpret,
-    )(lo_tab, hi_tab, data3)
+    )(lo_tab, hi_tab, nval2, data3)
 
 
 # ---------------------------------------------------------------------------
@@ -289,6 +305,69 @@ def shift_lanes(denseT, counts, shift, *, G, ORP):
     return lo | hi
 
 
+def _e3_kernel(off_ref, shifted_ref, out_ref, *, LT, ORPW, NROWS):
+    """Device placement: lane l's phase-shifted granule row (ORPW, 128)
+    is rotated to its global granule offset off_l (lane-gather rotate by
+    off & 127 with a neighbor-row carry select) and OR-accumulated into
+    the output at sublane offset off >> 7.  Granules past a lane's
+    occupancy are zero (shift_lanes masks by counts), and the one
+    granule two lanes share carries disjoint bit ranges, so OR is exact
+    — the mirror of the decoder's "no scatter anywhere" rule.  Grid
+    steps run sequentially on TPU, so the read-modify-write is race-free."""
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _zero():
+        out_ref[...] = jnp.zeros((NROWS, 128), jnp.int32)
+
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (ORPW + 1, 128), 1)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (ORPW + 1, 128), 0)
+
+    def body(l, _):
+        off = off_ref[0, l]
+        k = off & 127
+        r0 = off >> 7
+        rows = shifted_ref[l]                      # (ORPW, 128)
+        ext = jnp.concatenate(
+            [rows, jnp.zeros((1, 128), jnp.int32)], axis=0)
+        g = jnp.take_along_axis(
+            ext, jnp.broadcast_to((iota_c - k) % 128, (ORPW + 1, 128)),
+            axis=1)
+        gprev = pltpu.roll(g, 1, axis=0)
+        gprev = jnp.where(iota_r == 0, 0, gprev)
+        contrib = jnp.where(iota_c >= k, g, gprev)
+        cur = out_ref[pl.ds(r0, ORPW + 1), :]
+        out_ref[pl.ds(r0, ORPW + 1), :] = cur | contrib
+        return 0
+
+    jax.lax.fori_loop(0, LT, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("G", "ORPW", "NROWS", "LT",
+                                             "interpret"))
+def e3_place(shifted3, word_off, *, G, ORPW, NROWS, LT=128,
+             interpret=False):
+    """shifted3 (G, ORPW, 128) i32 phase-shifted granule rows,
+    word_off (1, G) i32 global granule offsets (2D: 1-D SMEM blocks
+    trip an XLA T(512) layout-padding mismatch on HW) -> (NROWS, 128)
+    i32 of u16 payload granules (row r lane c = granule r*128 + c)."""
+    kern = functools.partial(_e3_kernel, LT=LT, ORPW=ORPW, NROWS=NROWS)
+    return pl.pallas_call(
+        kern,
+        grid=(G // LT,),
+        in_specs=[
+            pl.BlockSpec((1, LT), lambda s: (0, s),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((LT, ORPW, 128), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((NROWS, 128), lambda s: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NROWS, 128), jnp.int32),
+        interpret=interpret,
+    )(word_off, shifted3)
+
+
 def place_lanes(shifted: np.ndarray, shift: np.ndarray,
                 lane_bits: np.ndarray, word_off: np.ndarray,
                 n_granules: int) -> np.ndarray:
@@ -328,9 +407,12 @@ def encode_pallas(data, tree: np.ndarray | None = None, lanes=None,
     """Device-encode bytes into a reference-format HuffFile.
 
     Pack, compaction, and phase shift run on device; the host does a
-    per-lane (not per-symbol) vectorized placement.  Falls back to the
-    host encoder (huffio/encoder.py) for tiny inputs, >26-bit codes, or
-    a full 256-symbol alphabet (no spare byte for the lane pad symbol)."""
+    per-lane (not per-symbol) vectorized placement.  Lane padding is
+    positional (rows past a lane's real symbol count pack zero bits),
+    so full 256-symbol alphabets and tiny inputs stay on the device
+    path; the only fallback to the host encoder (huffio/encoder.py) is
+    a pathological tree with >26-bit codes (the 2x13-bit half-code
+    packing limit — no shipped or random byte corpus comes near it)."""
     from huffmandecoderongpus_tpu.huffio.encoder import encode_bytes
     from huffmandecoderongpus_tpu.huffio.format import HuffFile
     from huffmandecoderongpus_tpu.huffio.tree import build_tree, tree_codes
@@ -344,10 +426,9 @@ def encode_pallas(data, tree: np.ndarray | None = None, lanes=None,
         raise ValueError("cannot encode empty input")
     if tree is None:
         tree = build_tree(np.bincount(arr, minlength=256))
-    code, length, present = tree_codes(tree)
-    free = np.nonzero(~present)[0]
+    code, length, _present = tree_codes(tree)
     N = int(arr.size)
-    if (length.max(initial=0) > 2 * HALF or N < 8192 or free.size == 0):
+    if length.max(initial=0) > 2 * HALF:
         return encode_bytes(arr, tree=tree)
 
     if lanes is None:
@@ -357,23 +438,22 @@ def encode_pallas(data, tree: np.ndarray | None = None, lanes=None,
         G = int(lanes)
     SEG = 16
     K_real = -(-N // G)
-    K = -(-(K_real + 1) // SEG) * SEG  # >= 1 trailing pad symbol per lane
+    K = -(-(K_real + 1) // SEG) * SEG  # >= 1 trailing pad row per lane
     R = G // 128
 
-    pad_sym = int(free[0])
     lo_t, hi_t = build_pack_tables(code, length)
-    lo_t[pad_sym] = 0
-    hi_t[pad_sym] = 0
-    lanes_mat = np.full((G, K), pad_sym, dtype=np.uint8)
-    tmp = np.full(G * K_real, pad_sym, dtype=np.uint8)
+    lanes_mat = np.zeros((G, K), dtype=np.uint8)
+    tmp = np.zeros(G * K_real, dtype=np.uint8)
     tmp[:N] = arr
     lanes_mat[:, :K_real] = tmp.reshape(G, K_real)
     data3 = np.ascontiguousarray(lanes_mat.T).reshape(K, R, 128)
+    nval = np.clip(N - np.arange(G, dtype=np.int64) * K_real, 0,
+                   K_real).astype(np.int32)
 
     gran, gval, cnt2, bits2 = e1_pack(
         jnp.asarray(data3), jnp.asarray(_chunk256(lo_t)),
-        jnp.asarray(_chunk256(hi_t)), K=K, G=G, SEG=SEG,
-        interpret=interpret)
+        jnp.asarray(_chunk256(hi_t)), jnp.asarray(nval.reshape(R, 128)),
+        K=K, G=G, SEG=SEG, interpret=interpret)
 
     rows = 2 * K
     rows_p = -(-rows // 128) * 128
@@ -399,11 +479,27 @@ def encode_pallas(data, tree: np.ndarray | None = None, lanes=None,
     shift = (P & (GRAN - 1)).astype(np.int32)
     word_off = (P >> 4).astype(np.int64)
 
-    shifted = np.asarray(shift_lanes(
+    shifted = shift_lanes(
         denseT, jnp.asarray(counts.astype(np.int32)), jnp.asarray(shift),
-        G=G, ORP=ORP)).astype(np.int64)
+        G=G, ORP=ORP)
     n_granules = -(-total_bits // GRAN)
-    gr = place_lanes(shifted, shift, lane_bits, word_off, n_granules)
+    ORPW = ORP // 128
+    NROWS = (-(-n_granules // 128) + ORPW + 8) // 8 * 8
+    if NROWS * 128 * 4 <= 8 * 2**20:
+        # device placement: the E3 kernel ORs each lane's rotated
+        # granule row into the resident output — the whole payload is
+        # assembled in HBM and only the final granules come back
+        out2 = e3_place(
+            shifted.reshape(G, ORPW, 128),
+            jnp.asarray(word_off.astype(np.int32).reshape(1, G)),
+            G=G, ORPW=ORPW, NROWS=NROWS, interpret=interpret)
+        gr = (np.asarray(out2).reshape(-1)[:n_granules]
+              & 0xFFFF).astype(np.uint16)
+    else:
+        # payloads beyond the VMEM-resident limit (~2x the largest
+        # shipped corpus) keep the vectorized host placement
+        gr = place_lanes(np.asarray(shifted).astype(np.int64), shift,
+                         lane_bits, word_off, n_granules)
     payload = gr.astype("<u2").tobytes()[: (total_bits + 7) // 8]
     return HuffFile(tree=tree, bits=total_bits, uncompressed_size=N,
                     payload=np.frombuffer(payload, dtype=np.uint8).copy())

@@ -14,9 +14,11 @@ kernels inside one XLA program:
         sequentially, so scratch persists across segments).
       - one *paired* transition table word per state (word = entry(bit=0)
         | entry(bit=1)<<16, entry = sym<<8|emit<<7|next_state) makes a
-        step a single 128-wide lane gather + shifts; needs <= 127
-        internal states (all 8 reference corpora qualify; the wrapper
-        falls back to the round-1 decoder beyond that).
+        step a single 128-wide lane gather + shifts up to 127 internal
+        states (all 8 reference corpora qualify); deeper trees — up to
+        1023 states, md=1 included — chunk the table into NS 128-state
+        rows with a wide 16-bit entry layout (see pack_pair_table),
+        costing one extra gather + select per extra chunk.
       - stream-end handling is folded into the *data*: padding "bits" have
         value 2, which the extract maps to a zero entry (no emission,
         state->0); past-the-end chains therefore count nothing, so no
@@ -90,21 +92,35 @@ CELL = 4
 
 def pack_pair_table(dfa: LaneDFA) -> np.ndarray:
     """Repack the fused table as one int32 word per state:
-    word = e0 | e1<<16 with e = sym<<8 | emit<<7 | next_state.
-    Non-emitting entries have sym == 0 (so slot-accumulation can OR).
-    Returns (1, 128) int32.  Raises ValueError beyond 127 states."""
+    word = e0 | e1<<16.  Returns (NS, 128) int32 — row c holds states
+    [c*128, c*128+128); NS = 1 up to 127 states.
+
+    Two 16-bit entry layouts (mirrors pack_quad_tables): up to 127
+    states the compact layout e = sym<<8 | emit<<7 | next_state with
+    non-emitting sym bits zero (slot-accumulation can OR); beyond that
+    the *wide* layout (emit<<15 | sym<<1 when emitting — post-emission
+    state is the root — or a bare state <= 32767) so md=1 trees up to
+    1023 internal states stay on the fused path.  Raises ValueError
+    beyond MAX_STATES_WIDE."""
     n_states = dfa.entry.shape[0] // 2
-    if n_states > MAX_STATES:
-        raise ValueError(f"{n_states} states > {MAX_STATES} (paired table)")
-    out = np.zeros((1, 128), dtype=np.int32)
+    if n_states > MAX_STATES_WIDE:
+        raise ValueError(
+            f"{n_states} states > {MAX_STATES_WIDE} (wide paired table)")
+    big = n_states > MAX_STATES
+    NS = max(1, -(-n_states // 128))
+    out = np.zeros((NS, 128), dtype=np.int64)
+    flat = out.reshape(-1)
     for bit in (0, 1):
         e = dfa.entry[bit::2].astype(np.int64)
         emit = (e & EMIT_BIT) != 0
         state = np.where(emit, 0, e & STATE_MASK)
         sym = np.where(emit, (e >> 16) & 0xFF, 0)
-        e16 = (sym << 8) | (emit.astype(np.int64) << 7) | state
-        out[0, :n_states] |= (e16 << (16 * bit)).astype(np.int32)
-    return out
+        if big:
+            e16 = np.where(emit, 0x8000 | (sym << 1), state)
+        else:
+            e16 = (sym << 8) | (emit.astype(np.int64) << 7) | state
+        flat[:n_states] |= e16 << (16 * bit)
+    return out.astype(np.uint32).view(np.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -125,6 +141,33 @@ def bits3_matrix(payload: np.ndarray, bits: int, G: int, B: int, steps_p: int):
     return np.ascontiguousarray(mat).reshape(steps_p, R, 128)
 
 
+def _pair_word(tab_ref, NS, rows, node):
+    """Paired-table word for each lane: table[node], NS 128-state chunks
+    (row c of tab_ref holds states [c*128, c*128+128))."""
+    if NS == 1:
+        tb = jnp.broadcast_to(tab_ref[0:1, :], (rows, 128))
+        return jnp.take_along_axis(tb, node, axis=1)
+    nl = node & 127
+    nh = node >> 7
+    w = None
+    for c in range(NS):
+        t = jnp.broadcast_to(tab_ref[c:c + 1, :], (rows, 128))
+        g = jnp.take_along_axis(t, nl, axis=1)
+        w = g if c == 0 else jnp.where(nh == c, g, w)
+    return w
+
+
+def _e1_fields(e, NS):
+    """(emit, sym32, nst) of a 16-bit 1-bit-path entry; layout per
+    pack_pair_table (wide iff NS > 1).  ``sym32`` arrives emit-masked
+    in the wide layout; the compact layout's non-emitting sym is zero
+    by construction."""
+    if NS > 1:
+        emit = (e >> 15) & 1
+        return emit, emit * ((e >> 1) & 0xFF), (1 - emit) * (e & 0x7FFF)
+    return (e >> 7) & 1, e >> 8, e & 127
+
+
 # ---------------------------------------------------------------------------
 # K1: fused main scan + candidate discovery
 
@@ -132,14 +175,14 @@ def bits3_matrix(payload: np.ndarray, bits: int, G: int, B: int, steps_p: int):
 def _k1_kernel(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
                cntmap_ref, exmap_ref, mrowmap_ref,
                node0, cnt0, done0, exit0, nodeC, cntC, recC, cumMC,
-               v_scr, cum_scr, *, B, H, steps, SEG, UNROLL, md, CH, HP, RB):
+               v_scr, cum_scr, *, B, H, steps, SEG, UNROLL, md, CH, HP, RB,
+               NS=1):
     # grid = (row-groups, segments), segments innermost: the kernel walks
     # all segments of RB sublane rows of lanes before moving to the next
     # row group, so the VMEM working set is bounded by RB (not G/128) and
     # the per-row-group scratch resets at s == 0
     R = RB
     s = pl.program_id(1)
-    tab_bc = jnp.broadcast_to(tab_ref[0:1, :], (R, 128))
 
     @pl.when(s == 0)
     def _init():
@@ -176,11 +219,10 @@ def _k1_kernel(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
                         lj = i * UNROLL + (tc * CELL + cs) * md + u
                         j = s * SEG + lj
                         b = bits_ref[lj].astype(jnp.int32)
-                        w = jnp.take_along_axis(tab_bc, node, axis=1)
+                        w = _pair_word(tab_ref, NS, R, node)
                         e = (w >> ((b & 1) << 4)) & 0xFFFF
                         e = jnp.where(b >= PAD_BIT, 0, e)
-                        node = e & 127
-                        emit1 = (e >> 7) & 1
+                        emit1, sym32, node = _e1_fields(e, NS)
                         if track_exit:
                             emit1 = emit1 * (1 - done)
                             exiting = emit1 * jnp.where(j + 1 >= B, 1, 0)
@@ -190,11 +232,11 @@ def _k1_kernel(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
                         if store_scr:
                             v_scr[lj] = emit1
                             cum_scr[lj] = cnt
-                        # non-emitting entries have sym == 0, so the cell
+                        # non-emitting entries carry sym == 0, so the cell
                         # word accumulates by OR; byte cs of the cell is
                         # slot tc*CELL+cs (sym >= 128 at cs == 3 wraps
                         # into the sign bit — K4 masks after the shift)
-                        cacc = cacc | ((e >> 8) << (8 * cs))
+                        cacc = cacc | (sym32 << (8 * cs))
                         nacc = nacc | (emit1 << cs)
                 cl = (i * UNROLL // md) // CELL + tc
                 sym_ref[cl] = cacc
@@ -233,7 +275,6 @@ def _k1_kernel(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
         # (CH, R, 128) with the per-bit operands kept (1, R, 128) so the
         # compiler broadcasts vregs instead of materializing CH copies;
         # chain c's start row (c+1) gates via a row iota
-        tab_bc2 = jnp.broadcast_to(tab_ref[0:1, :], (CH * R, 128))
         chain_of = jax.lax.broadcasted_iota(jnp.int32, (CH, R, 128), 0)
 
         def body(i, carry):
@@ -248,13 +289,13 @@ def _k1_kernel(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
             late = jnp.where(j + 1 >= B, 1, 0)
             rec_val = (v0 << 1) + ((j << 2) | 1)
             live = (1 - (rec & 1)) * jnp.where(j >= chain_of + 1, 1, 0)
-            w = jnp.take_along_axis(
-                tab_bc2, node.reshape(CH * R, 128), axis=1
-            ).reshape(CH, R, 128)
+            w = _pair_word(tab_ref, NS, CH * R,
+                           node.reshape(CH * R, 128)).reshape(CH, R, 128)
             e = (w >> sh) & 0xFFFF
             e = jnp.where(pm, 0, e)
-            node = jnp.where(live > 0, e & 127, node)
-            em = ((e >> 7) & 1) * live
+            emit1, _sym, nst = _e1_fields(e, NS)
+            node = jnp.where(live > 0, nst, node)
+            em = emit1 * live
             cnt = cnt + em
             resolve = (em * (v0 | late)) > 0
             rec = jnp.where(resolve, rec_val, rec)
@@ -307,14 +348,15 @@ def k1_scan(bits3, tabw, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL, md,
         raise ValueError("UNROLL/md must cover whole cells (see _plan)")
     cells_seg = SEG // md // CELL
     cells_p = steps_p // md // CELL
+    NS = tabw.shape[0]  # static under jit; > 1 selects the wide layout
     kern = functools.partial(
         _k1_kernel, B=B, H=H, steps=steps, SEG=SEG, UNROLL=UNROLL,
-        md=md, CH=CH, HP=HP, RB=RB)
+        md=md, CH=CH, HP=HP, RB=RB, NS=NS)
     return pl.pallas_call(
         kern,
         grid=(RG, S),
         in_specs=[
-            pl.BlockSpec((1, 128), lambda rg, s: (0, 0),
+            pl.BlockSpec((NS, 128), lambda rg, s: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((RB, 128), lambda rg, s: (rg, 0),
                          memory_space=pltpu.VMEM),
@@ -842,7 +884,7 @@ def k2_compose(ex3, start, *, Rg, NG, interpret=False):
 
 def _k3_kernel(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
                symin_ref, valin_ref, sym_ref, val_ref, nodeF,
-               *, G, SEG, UNROLL, md, RB):
+               *, G, SEG, UNROLL, md, RB, NS=1):
     """Adaptive fix + splice scan: full-length grid, but a segment only
     *re-decodes* while some lane's splice window (cut) extends into it —
     merge rows are usually small, yet phase-locked runs of one short code
@@ -860,7 +902,6 @@ def _k3_kernel(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
     R = RB
     s = pl.program_id(1)
     slots_seg = SEG // md
-    tab_bc = jnp.broadcast_to(tab_ref[0:1, :], (R, 128))
 
     @pl.when(s == 0)
     def _init():
@@ -884,13 +925,14 @@ def _k3_kernel(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
                         lj = i * UNROLL + (tc * CELL + cs) * md + u
                         j = s * SEG + lj
                         b = bits_ref[lj].astype(jnp.int32)
-                        w = jnp.take_along_axis(tab_bc, node, axis=1)
+                        w = _pair_word(tab_ref, NS, R, node)
                         e = (w >> ((b & 1) << 4)) & 0xFFFF
                         e = jnp.where(b >= PAD_BIT, 0, e)
+                        emitf, sym32, nst = _e1_fields(e, NS)
                         alive = j >= ent
-                        node = jnp.where(alive, e & 127, node)
-                        emit1 = jnp.where(alive, (e >> 7) & 1, 0)
-                        cacc = cacc | (jnp.where(alive, e >> 8, 0)
+                        node = jnp.where(alive, nst, node)
+                        emit1 = jnp.where(alive, emitf, 0)
+                        cacc = cacc | (jnp.where(alive, sym32, 0)
                                        << (8 * cs))
                         nacc = nacc | (emit1 << cs)
                 cl = i * n_cells + tc
@@ -927,8 +969,9 @@ def k3_fix(bits3, tabw, ent2, cut2, cutsl2, sym, val, *, G, steps_p, SEG,
     S = steps_p // SEG
     cells_seg = SEG // md // CELL
     cells_p = steps_p // md // CELL
+    NS = tabw.shape[0]  # static under jit; > 1 selects the wide layout
     kern = functools.partial(_k3_kernel, G=G, SEG=SEG, UNROLL=UNROLL, md=md,
-                             RB=RB)
+                             RB=RB, NS=NS)
     cell_spec = pl.BlockSpec((cells_seg, RB, 128), lambda rg, s: (s, rg, 0),
                              memory_space=pltpu.VMEM)
     lane_spec = pl.BlockSpec((RB, 128), lambda rg, s: (rg, 0),
@@ -937,7 +980,7 @@ def k3_fix(bits3, tabw, ent2, cut2, cutsl2, sym, val, *, G, steps_p, SEG,
         kern,
         grid=(RG, S),
         in_specs=[
-            pl.BlockSpec((1, 128), lambda rg, s: (0, 0),
+            pl.BlockSpec((NS, 128), lambda rg, s: (0, 0),
                          memory_space=pltpu.VMEM),
             lane_spec,
             lane_spec,
@@ -1398,8 +1441,8 @@ def _plan(bits: int, H: int, md: int, lanes=None, avg_len=None):
 
 class EnvelopeError(ValueError):
     """The tree/geometry is outside the widescan program's envelope
-    (>1023 states, >127 states on the md=1 1-bit path, tiny stream);
-    callers fall back to another decoder."""
+    (>1023 internal states or a tiny stream); callers fall back to
+    another decoder."""
 
 
 def stage_widescan_inputs(hf, lanes=None):
@@ -1424,10 +1467,6 @@ def stage_widescan_inputs(hf, lanes=None):
     p = _plan(hf.bits, H, md, lanes=lanes, avg_len=avg)
     G = p["G"]
     chunk2 = md >= 2 and p["UNROLL"] % 2 == 0 and p["SEG"] % 2 == 0
-    if n_states > MAX_STATES and not chunk2:
-        # only the chunked kernels decode the wide entry layout; md=1
-        # trees this deep fall back to the round-1 decoder
-        raise EnvelopeError("deep tree outside the 1-bit paired-table limit")
     C0 = C1 = 0
     NS = 1
     if chunk2:
@@ -1435,7 +1474,12 @@ def stage_widescan_inputs(hf, lanes=None):
         tabw = jnp.asarray(tabq)
         mat = bits2_matrix(hf.payload, hf.bits, G, p["B"], p["steps_p"])
     else:
-        tabw = jnp.asarray(pack_pair_table(dfa))
+        # md=1 trees of any depth <= MAX_STATES_WIDE stay on the fused
+        # path: pack_pair_table switches to the wide entry layout and
+        # the 1-bit kernels chunk the table (NS from the table shape)
+        tabp = pack_pair_table(dfa)
+        NS = tabp.shape[0]
+        tabw = jnp.asarray(tabp)
         mat = bits3_matrix(hf.payload, hf.bits, G, p["B"], p["steps_p"])
     lane = np.arange(G, dtype=np.int64).reshape(G // 128, 128)
     lim2 = jnp.asarray(

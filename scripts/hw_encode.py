@@ -36,7 +36,6 @@ def main():
         arr = np.asarray(td.ucd, dtype=np.uint8)
         tree = td.cd.tree
         code, length, present = tree_codes(tree)
-        free = np.nonzero(~present)[0]
         N = int(arr.size)
         G = 1 << max((N // 512).bit_length() - 1, 0)
         G = max(128, min(G, 1 << 13))
@@ -44,14 +43,14 @@ def main():
         K_real = -(-N // G)
         K = -(-(K_real + 1) // SEG) * SEG
         R = G // 128
-        pad_sym = int(free[0])
         lo_t, hi_t = pe.build_pack_tables(code, length)
-        lo_t[pad_sym] = 0
-        hi_t[pad_sym] = 0
-        lanes_mat = np.full((G, K), pad_sym, dtype=np.uint8)
-        tmp = np.full(G * K_real, pad_sym, dtype=np.uint8)
+        lanes_mat = np.zeros((G, K), dtype=np.uint8)
+        tmp = np.zeros(G * K_real, dtype=np.uint8)
         tmp[:N] = arr
         lanes_mat[:, :K_real] = tmp.reshape(G, K_real)
+        nval = np.clip(N - np.arange(G, dtype=np.int64) * K_real, 0,
+                       K_real).astype(np.int32)
+        nval_j = jnp.asarray(nval.reshape(R, 128))
         data3 = jnp.asarray(
             np.ascontiguousarray(lanes_mat.T).reshape(K, R, 128))
         lo_j = jnp.asarray(pe._chunk256(lo_t))
@@ -63,9 +62,9 @@ def main():
         ORP = -(-min(int(K_real * avg / 16 * 1.6) + 4, rows_p) // 128) * 128
 
         @jax.jit
-        def kernels(data3, lo_j, hi_j):
+        def kernels(data3, lo_j, hi_j, nval_j=nval_j):
             gran, gval, cnt2, bits2 = pe.e1_pack(
-                data3, lo_j, hi_j, K=K, G=G, SEG=SEG)
+                data3, lo_j, hi_j, nval_j, K=K, G=G, SEG=SEG)
             granT = gran.reshape(rows, G).T
             gvalT = gval.reshape(rows, G).T
             if rows_p != rows:

@@ -53,6 +53,28 @@ assert st["NS"] >= 2, "expected the wide-table path"
 out = ws.decode_widescan(hf)
 assert np.array_equal(out, raw), "wide-table widescan mismatch on hardware"
 print("widescan wide-table OK", flush=True)
+
+# md=1 deep tree (round 3): one dominant symbol over a full byte
+# alphabet exercises the wide 1-bit paired-table path (NS=2, chunk2 off)
+w1 = np.full(256, 1.0); w1[0] = 300.0
+raw1 = rng.choice(np.arange(256, dtype=np.uint8), size=400_000,
+                  p=w1 / w1.sum()).astype(np.uint8)
+hf1 = encode_bytes(raw1)
+st1 = ws.stage_widescan_inputs(hf1, lanes=2048)
+assert not st1["chunk2"] and st1["NS"] >= 2, "expected the wide 1-bit path"
+out1 = ws.decode_widescan(hf1, lanes=2048)
+assert np.array_equal(out1, raw1), "md=1 deep widescan mismatch on hardware"
+print("widescan md1-deep OK", flush=True)
+
+# device encoder (round 3 envelope): full 256-symbol alphabet +
+# device E3 placement, byte-identical to the host encoder
+from huffmandecoderongpus_tpu.ops.pallas_encode import encode_pallas
+raw2 = np.concatenate([np.arange(256, dtype=np.uint8),
+                       rng.integers(0, 256, size=200_000, dtype=np.uint8)])
+hfe = encode_pallas(raw2, interpret=False)
+want = encode_bytes(raw2, tree=hfe.tree)
+assert hfe.bits == want.bits and np.array_equal(hfe.payload, want.payload)
+print("encode_pallas full-alphabet OK", flush=True)
 """
 
 
@@ -75,6 +97,8 @@ def test_pallas_kernels_on_hardware():
     assert "widescan OK" in proc.stdout
     assert "lanedfa_pallas OK" in proc.stdout
     assert "widescan wide-table OK" in proc.stdout
+    assert "widescan md1-deep OK" in proc.stdout
+    assert "encode_pallas full-alphabet OK" in proc.stdout
 
 
 _PROG_ALL = r"""

@@ -37,9 +37,23 @@ def test_encode_paper1_prefix(paper1):
     _check(raw, lanes=128)
 
 
-def test_encode_tiny_falls_back(rng):
+def test_encode_tiny_stays_on_device(rng):
+    # positional lane padding removed the 8192-byte device floor: tiny
+    # inputs run the device kernels and still match the host encoder
     raw = rng.integers(0, 100, size=500, dtype=np.uint8)
-    _check(raw)  # below the device floor: must equal host encoder output
+    _check(raw)
+    _check(rng.integers(0, 100, size=11, dtype=np.uint8))  # hello-sized
+
+
+def test_encode_full_256_alphabet(rng):
+    # a full 256-symbol alphabet leaves no free pad byte — the device
+    # path must not fall back (positional masking, not a pad symbol)
+    raw = np.concatenate([
+        np.arange(256, dtype=np.uint8),  # force every symbol present
+        rng.integers(0, 256, size=30000, dtype=np.uint8),
+    ])
+    assert np.unique(raw).size == 256
+    _check(raw, lanes=128)
 
 
 def test_encode_roundtrip_through_decoder(rng):

@@ -238,3 +238,51 @@ def test_widescan_high_symbols(rng):
     hf = encode_bytes(raw)
     out = decode_widescan(hf, lanes=1024, interpret=True)
     np.testing.assert_array_equal(out, raw)
+
+
+def test_widescan_md1_deep_tree_stays_wide(rng):
+    # min code length 1 with >127 internal states (one dominant symbol
+    # over a full byte alphabet — the adversarial/binary-ish shape): the
+    # 1-bit kernels must chunk the paired table (wide entry layout, NS=2)
+    # instead of falling back to the ~10x slower round-1 path.  Matches
+    # the reference's shape-agnostic table build jumptableapproach.c:40-99.
+    from huffmandecoderongpus_tpu.ops import pallas_widescan as ws
+
+    w = np.full(256, 1.0)
+    w[0] = 300.0  # dominant symbol -> code length 1
+    raw = rng.choice(np.arange(256, dtype=np.uint8), size=60000,
+                     p=w / w.sum()).astype(np.uint8)
+    hf = encode_bytes(raw)
+    dfa = build_lane_dfa(hf.tree)
+    assert dfa.min_depth == 1
+    assert dfa.entry.shape[0] // 2 > ws.MAX_STATES
+    st = ws.stage_widescan_inputs(hf, lanes=1024)  # no EnvelopeError
+    assert not st["chunk2"] and st["NS"] >= 2
+    out = decode_widescan(hf, lanes=1024, interpret=True)
+    np.testing.assert_array_equal(out, raw)
+
+
+def test_pack_pair_table_wide_semantics(rng):
+    # wide layout: emit<<15 | sym<<1 when emitting (root reset implied),
+    # bare 15-bit state otherwise
+    w = np.full(256, 1.0)
+    w[0] = 300.0
+    raw = rng.choice(np.arange(256, dtype=np.uint8), size=4000,
+                     p=w / w.sum()).astype(np.uint8)
+    hf = encode_bytes(raw)
+    dfa = build_lane_dfa(hf.tree)
+    n_states = dfa.entry.shape[0] // 2
+    assert n_states > 127
+    tabw = pack_pair_table(dfa)
+    assert tabw.shape == (-(-n_states // 128), 128)
+    flat = np.asarray(tabw).reshape(-1).astype(np.int64) & 0xFFFFFFFF
+    for bit in (0, 1):
+        for s in range(n_states):
+            ref = int(dfa.entry[s * 2 + bit])
+            e16 = (int(flat[s]) >> (16 * bit)) & 0xFFFF
+            if ref & EMIT_BIT:
+                assert e16 & 0x8000
+                assert ((e16 >> 1) & 0xFF) == ((ref >> 16) & 0xFF)
+            else:
+                assert (e16 & 0x8000) == 0
+                assert e16 == (ref & STATE_MASK)
