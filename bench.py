@@ -85,7 +85,7 @@ def _wide_candidate(td):
 
     def run():
         denseT, n, total, fence = ws.wide_decode_program(
-            st["bits"], st["tabw"], st["lim2"], B=p["B"], H=st["H"],
+            st["words"], st["tabw"], st["lim2"], B=p["B"], H=st["H"],
             G=p["G"], steps=p["steps"], steps_p=p["steps_p"], SEG=p["SEG"],
             UNROLL=p["UNROLL"], md=st["md"], Rg=p["Rg"], NG=p["NG"],
             ORP=p["ORP"], RB=p["RB"], C0=st["C0"], C1=st["C1"],

@@ -159,7 +159,10 @@ def profile_widescan(hf, lanes: int | None = None,
     else:
         k1, k3 = ws.k1_scan, ws.k3_fix
 
-    def upto_k3_parts(bits3, tabw, lim2):
+    steps_w = -(-p["steps_p"] // 32)
+
+    def upto_k3_parts(w2, tabw, lim2):
+        bits3 = ws.words_matrix_device(w2, steps_w)
         sym, val, cntmap, exmap, mrowmap = k1(bits3, tabw, lim2, **kw)
         HP = cntmap.shape[0]
 
@@ -183,12 +186,14 @@ def profile_widescan(hf, lanes: int | None = None,
         return sym, val, cntmap, entry, msym, mval
 
     @jax.jit
-    def upto_k1(bits3, tabw, lim2):
+    def upto_k1(w2, tabw, lim2):
+        bits3 = ws.words_matrix_device(w2, steps_w)
         sym, val, cntmap, *_ = k1(bits3, tabw, lim2, **kw)
         return cntmap[0, 0, 0] + sym[0, 0, 0].astype(jnp.int32)
 
     @jax.jit
-    def upto_k2(bits3, tabw, lim2):
+    def upto_k2(w2, tabw, lim2):
+        bits3 = ws.words_matrix_device(w2, steps_w)
         sym, val, cntmap, exmap, mrowmap = k1(bits3, tabw, lim2, **kw)
         HP = cntmap.shape[0]
         m2 = (exmap.reshape(HP, G).T.reshape(p["NG"], p["Rg"], HP)
@@ -199,18 +204,18 @@ def profile_widescan(hf, lanes: int | None = None,
         return ent3[0, 0, 0] + sym[0, 0, 0].astype(jnp.int32)
 
     @jax.jit
-    def upto_k3(bits3, tabw, lim2):
-        *_, msym, mval = upto_k3_parts(bits3, tabw, lim2)
+    def upto_k3(w2, tabw, lim2):
+        *_, msym, mval = upto_k3_parts(w2, tabw, lim2)
         return msym[0, 0, 0] + mval[0, 0, 0].astype(jnp.int32)
 
     @jax.jit
-    def full(bits3, tabw, lim2):
+    def full(w2, tabw, lim2):
         return ws.wide_decode_program(
-            bits3, tabw, lim2, Rg=p["Rg"], NG=p["NG"], ORP=p["ORP"],
+            w2, tabw, lim2, Rg=p["Rg"], NG=p["NG"], ORP=p["ORP"],
             C0=st["C0"], C1=st["C1"], NS=st["NS"], chunk2=st["chunk2"],
             **kw)[3]
 
-    b3, tw, l2 = st["bits"], st["tabw"], st["lim2"]
+    b3, tw, l2 = st["words"], st["tabw"], st["lim2"]
 
     # device-protocol timing: the relay's fixed round-trip floor would
     # otherwise swamp millisecond stages, so amortize K dispatches per

@@ -1,0 +1,602 @@
+"""One-shot fused decoder: the WHOLE decode in a single Pallas kernel.
+
+Small streams are dispatch-bound, not compute-bound: the 4-kernel widescan
+program (ops/pallas_widescan.py) costs ~0.2-0.4 ms on paper1-sized inputs
+while its useful vector work is tens of microseconds — the fixed cost is
+per-kernel launch overhead plus the XLA glue between kernels (measured
+round 4: a trivial one-kernel program dispatches ~3-8x faster than the
+4-kernel pipeline on empty-ish inputs).  For streams whose entire working
+set fits VMEM (G <= 4096 lanes, a few MB of cells), this module runs the
+full decode — main scan + self-sync candidate discovery, exit-map
+composition, fix-splice, dense compaction — inside ONE `pallas_call` with
+a (phase, segment) grid:
+
+  phase 0, segment s   main 0-chain scan + gated candidate chains
+                       (same recurrences as pallas_widescan._k1_kernel2,
+                       chunked 2-bit steps off raw payload words)
+  phase 0, last s      epilogue: candidate maps -> per-lane true entries
+                       via a 3-pass in-kernel composition (per-row lane
+                       transposes + a sublane prefix-doubling over rows —
+                       the _k2_kernel scheme with groups = sublane rows),
+                       then per-lane n/cut from the maps
+  phase 1, segment s   gated fix + splice into the VMEM cell arrays
+  phase 1, last s      K4 dense compaction (per-row transpose, packed
+                       popcount prefix sums, binary-search rank resolve)
+                       -> dense bytes + per-lane counts, the only outputs
+
+Intermediate cells/maps live in VMEM scratch across grid steps (TPU grids
+run sequentially), so nothing round-trips HBM and nothing re-launches.
+Envelope: chunked trees only (md >= 2, <= 1023 states) and a VMEM budget
+check; callers fall back to the 4-kernel program (decode_widescan routes).
+
+Reference role: the fused analog of running all six kernels of
+pes.c:30-104 in one launch; the reference pays a kernel launch + a host
+readback per doubling level instead (fastgpu.cu:245-261).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from huffmandecoderongpus_tpu.ops.pallas_widescan import (
+    CELL,
+    _e_step2,
+    _quad_word,
+)
+
+
+def _oneshot_kernel(tab_ref, lim_ref, bits_ref, out_ref, n_ref,
+                    sym, val, node0, cnt0, done0, exit0,
+                    nodeC, cntC, recC, cumMC, v_scr, cum_scr,
+                    cntmap, exmap, mrowmap, EXT,
+                    ent_scr, cut_scr, cutsl_scr, nodeF,
+                    *, B, H, steps, SEG, md, CH, HP, R, C0, C1, NS,
+                    cells_p, ORP):
+    phase = pl.program_id(0)
+    s = pl.program_id(1)
+    S = pl.num_programs(1)
+    UNROLL = 4 * md
+    lim = lim_ref[...]
+    mdg = md
+
+    # chain groups: start-row residue classes mod md (cf. _k1_kernel2)
+    SROWS = []
+    GROUPS = []
+    for p_ in range(mdg):
+        rows = [c + 1 for c in range(CH) if (c + 1) % mdg == p_]
+        for j in range(0, len(rows), 6):
+            sub = rows[j:j + 6]
+            if sub:
+                GROUPS.append((len(SROWS), sub[0], len(sub)))
+                SROWS.extend(sub)
+
+    def chunk_fields(node, lj2, rows=None):
+        """One 2-bit chunk step off the word rows: returns
+        (emit, pos, sym32, node', rc, valid)."""
+        jbit = s * SEG + 2 * lj2
+        wrow = bits_ref[jbit // 32]
+        sh = jbit % 32
+        b0 = (wrow >> sh) & 1
+        b1 = (wrow >> (sh + 1)) & 1
+        if rows is not None:  # 3D candidate shape: per-bit ops (1, R, 128)
+            b0, b1 = b0[None], b1[None]
+            valid = (lim > jbit)[None]
+            n2 = node.reshape(rows, 128)
+            w0, w1 = _quad_word(tab_ref, NS, rows, n2)
+            w = jnp.where(b0 > 0, w1.reshape(node.shape),
+                          w0.reshape(node.shape))
+        else:
+            valid = lim > jbit
+            w = _quad_word(tab_ref, NS, R, node, b0)
+        e = (w >> (b1 << 4)) & 0xFFFF
+        e = jnp.where(valid, e, 0)
+        rc = jnp.where(b1 > 0, C1, C0)
+        emit, pos, sym32, nxt = _e_step2(e, NS, rc)
+        return emit, pos, sym32, nxt, rc, valid
+
+    # ---------------- phase 0: main scan + candidates -----------------------
+    @pl.when(phase == 0)
+    def _p0():
+        @pl.when(s == 0)
+        def _init():
+            z = jnp.zeros((R, 128), jnp.int32)
+            node0[...] = z
+            cnt0[...] = z
+            done0[...] = z
+            exit0[...] = z
+            zc = jnp.zeros((CH, R, 128), jnp.int32)
+            nodeC[...] = zc
+            cntC[...] = zc
+            recC[...] = zc
+            cumMC[...] = zc
+
+        lim_ok = (lim > s * SEG).astype(jnp.int32)
+        glive = []
+        live_any = jnp.int32(0)
+        for (base, r0, n) in GROUPS:
+            lg = jnp.int32(0)
+            for ci in range(base, base + n):
+                lg = jnp.maximum(lg, jnp.max((1 - (recC[ci] & 1)) * lim_ok))
+            glive.append(lg)
+            live_any = jnp.maximum(live_any, lg)
+
+        def main_block(track_exit, store_scr):
+            def body(i, carry):
+                node, cnt, done, ex0 = carry
+                cacc = jnp.zeros((R, 128), jnp.int32)
+                nacc = jnp.zeros((R, 128), jnp.int32)
+                for cu in range(UNROLL // 2):
+                    lj2 = i * (UNROLL // 2) + cu
+                    jbit = s * SEG + 2 * lj2
+                    emit, pos, sym32, node, _rc, _v = chunk_fields(node, lj2)
+                    if track_exit:
+                        emit = emit * (1 - done)
+                        sym32 = jnp.where(emit > 0, sym32, 0)
+                        exiting = emit * jnp.where(jbit + pos + 1 >= B, 1, 0)
+                        ex0 = jnp.where(exiting > 0, jbit + pos + 1 - B, ex0)
+                        done = done | exiting
+                    cnt = cnt + emit
+                    if store_scr:
+                        v_scr[lj2] = emit << pos
+                        cum_scr[lj2] = cnt
+                    sl0 = (2 * cu) // md
+                    sl1 = (2 * cu + 1) // md
+                    if sl0 == sl1:
+                        cacc = cacc | (sym32 << (8 * (sl0 % CELL)))
+                        nacc = nacc | (emit << (sl0 % CELL))
+                    else:
+                        m0 = emit * (1 - pos)
+                        m1 = emit * pos
+                        cacc = cacc | (jnp.where(m0 > 0, sym32, 0)
+                                       << (8 * (sl0 % CELL)))
+                        nacc = nacc | (m0 << (sl0 % CELL))
+                        cacc = cacc | (jnp.where(m1 > 0, sym32, 0)
+                                       << (8 * (sl1 % CELL)))
+                        nacc = nacc | (m1 << (sl1 % CELL))
+                cl = s * (SEG // md // CELL) + i
+                sym[cl] = cacc
+                val[cl] = nacc
+                return node, cnt, done, ex0
+
+            out = jax.lax.fori_loop(
+                0, SEG // UNROLL, body,
+                (node0[...], cnt0[...], done0[...], exit0[...]))
+            node0[...], cnt0[...], done0[...], exit0[...] = out
+
+        tail = (s + 1) * SEG > B - 1
+        live = live_any > 0
+
+        @pl.when(tail & live)
+        def _fs():
+            main_block(True, True)
+
+        @pl.when(tail & ~live)
+        def _fn():
+            main_block(True, False)
+
+        @pl.when(~tail & live)
+        def _ls():
+            main_block(False, True)
+
+        @pl.when(~tail & ~live)
+        def _ln():
+            main_block(False, False)
+
+        for gi, (base, r0g, CHg) in enumerate(GROUPS):
+            c0g, c1g = base, base + CHg
+
+            @pl.when(glive[gi] > 0)
+            def _cands(c0g=c0g, c1g=c1g, CHg=CHg, r0g=r0g):
+                srow = jax.lax.broadcasted_iota(
+                    jnp.int32, (CHg, R, 128), 0) * mdg + r0g
+
+                def body(i, carry):
+                    node, cnt, rec, cum = carry
+                    jbit = s * SEG + 2 * i
+                    emit, pos, _sy, nst, rc, valid = chunk_fields(
+                        node, i, rows=CHg * R)
+                    v0m = v_scr[i][None]
+                    cum0 = cum_scr[i][None]
+                    alive = 1 - (rec & 1)
+                    started = jnp.where(jbit >= srow, 1, 0)
+                    partial = jnp.where(srow == jbit + 1, 1, 0)
+                    node = jnp.where(alive * started > 0, nst, node)
+                    node = jnp.where((alive * partial > 0) & valid,
+                                     jnp.broadcast_to(rc, node.shape), node)
+                    em = emit * alive * started
+                    cnt = cnt + em
+                    mbit = (v0m >> pos) & 1
+                    late = em * jnp.where(jbit + pos + 1 >= B, 1, 0)
+                    resolve = ((em * mbit) | late) > 0
+                    rec_val = (mbit << 1) + (((jbit + pos) << 2) | 1)
+                    rec = jnp.where(resolve, rec_val, rec)
+                    cum = jnp.where(resolve,
+                                    jnp.broadcast_to(cum0, cum.shape), cum)
+                    return node, cnt, rec, cum
+
+                init = (nodeC[c0g:c1g], cntC[c0g:c1g],
+                        recC[c0g:c1g], cumMC[c0g:c1g])
+                node, cnt, rec, cum = jax.lax.fori_loop(
+                    0, SEG // 2, body, init, unroll=SEG // 2)
+                nodeC[c0g:c1g] = node
+                cntC[c0g:c1g] = cnt
+                recC[c0g:c1g] = rec
+                cumMC[c0g:c1g] = cum
+
+        # ---- phase-0 epilogue: maps -> entries/cuts -------------------------
+        @pl.when(s == S - 1)
+        def _epi0():
+            cntmap[0] = cnt0[...]
+            exmap[0] = exit0[...]
+            mrowmap[0] = jnp.full((R, 128), -1, jnp.int32)
+            for ci, row in enumerate(SROWS):
+                rec = recC[ci]
+                mrg = (rec >> 1) & 1
+                mrow = rec >> 2
+                cntmap[row] = cntC[ci] + mrg * (cnt0[...] - cumMC[ci])
+                ex_tot = jnp.where(mrg > 0, exit0[...], mrow + 1 - B)
+                exmap[row] = jnp.where(
+                    (rec & 1) > 0, ex_tot, jnp.zeros((R, 128), jnp.int32))
+                mrowmap[row] = jnp.where(
+                    mrg > 0, mrow, jnp.full((R, 128), steps, jnp.int32))
+            for o in range(CH + 1, HP):
+                cntmap[o] = jnp.zeros((R, 128), jnp.int32)
+                exmap[o] = jnp.zeros((R, 128), jnp.int32)
+                mrowmap[o] = jnp.full((R, 128), steps, jnp.int32)
+
+            # composition pass 0: per-row lane transposes of the exit map
+            # EXT[rr, r, e] = exmap[e, r, rr] (entries on the minor axis so
+            # the doubling passes are take_along_axis lane gathers)
+            for r in range(R):
+                t = exmap[:, r, :].T  # (128 lanes, HP entries)
+                EXT[:, r, :] = jnp.concatenate(
+                    [t, jnp.zeros((128, 128 - HP), jnp.int32)], axis=1)
+
+            iota_e = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+            iota_r = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+
+            # pass 1: per-row composite exit map evaluated at every entry
+            def p1(rr, state):
+                return jnp.take_along_axis(EXT[rr], state, axis=1)
+
+            gstate = jax.lax.fori_loop(0, 128, p1, iota_e)
+
+            # pass 2: prefix-doubling over the R rows (sublane rolls)
+            pst = jnp.where(iota_r == 0, iota_e,
+                            pltpu.roll(gstate, 1, axis=0))
+            d = 1
+            while d < R:
+                sh_st = jnp.where(iota_r < d, iota_e,
+                                  pltpu.roll(pst, d, axis=0))
+                pst = jnp.take_along_axis(pst, sh_st, axis=1)
+                d <<= 1
+            ge = pst[:, 0:1]  # entry of each row's first lane (global e=0)
+
+            # pass 3: walk lanes within each row, recording entries
+            iota_c = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+
+            def p3(rr, carry):
+                st, ent = carry
+                ent = jnp.where(iota_c == rr, st, ent)
+                st = jnp.take_along_axis(
+                    EXT[rr], jnp.broadcast_to(st, (R, 128)), axis=1)[:, 0:1]
+                return st, ent
+
+            _, entry = jax.lax.fori_loop(
+                0, 128, p3, (ge, jnp.zeros((R, 128), jnp.int32)))
+            ent_scr[...] = entry
+
+            # per-lane n / cut / cut_slot (H-way select chains)
+            n = jnp.broadcast_to(cntmap[0], (R, 128))
+            mrow_sel = jnp.broadcast_to(mrowmap[0], (R, 128))
+            for h in range(1, H):
+                n = jnp.where(entry == h, cntmap[h], n)
+                mrow_sel = jnp.where(entry == h, mrowmap[h], mrow_sel)
+            n_ref[...] = n
+            cut = jnp.where(entry == 0, 0, mrow_sel + 1)
+            cut = jnp.where(lim > 0, cut, 0)
+            cut_scr[...] = cut
+            cutsl_scr[...] = jnp.where(cut > 0, (cut - 1) // md + 1, 0)
+            nodeF[...] = jnp.zeros((R, 128), jnp.int32)
+
+    # ---------------- phase 1: fix + splice, then compaction ----------------
+    @pl.when(phase == 1)
+    def _p1():
+        ent = ent_scr[...]
+        cells_seg = SEG // md // CELL
+        gated = jnp.max(cut_scr[...]) > s * SEG
+
+        @pl.when(gated)
+        def _fix():
+            cutsl = cutsl_scr[...]
+
+            def body(i, node):
+                cacc = jnp.zeros((R, 128), jnp.int32)
+                nacc = jnp.zeros((R, 128), jnp.int32)
+                for cu in range(UNROLL // 2):
+                    lj2 = i * (UNROLL // 2) + cu
+                    jbit = s * SEG + 2 * lj2
+                    emit, pos, sym32, node_full, rc, _v = chunk_fields(
+                        node, lj2)
+                    started = jbit >= ent
+                    emit = jnp.where(started, emit, 0)
+                    sym32 = jnp.where(started, sym32, 0)
+                    partial = ent == jbit + 1
+                    node = jnp.where(started, node_full, node)
+                    node = jnp.where(partial, rc, node)
+                    sl0 = (2 * cu) // md
+                    sl1 = (2 * cu + 1) // md
+                    if sl0 == sl1:
+                        cacc = cacc | (sym32 << (8 * (sl0 % CELL)))
+                        nacc = nacc | (emit << (sl0 % CELL))
+                    else:
+                        m0 = emit * (1 - pos)
+                        m1 = emit * pos
+                        cacc = cacc | (jnp.where(m0 > 0, sym32, 0)
+                                       << (8 * (sl0 % CELL)))
+                        nacc = nacc | (m0 << (sl0 % CELL))
+                        cacc = cacc | (jnp.where(m1 > 0, sym32, 0)
+                                       << (8 * (sl1 % CELL)))
+                        nacc = nacc | (m1 << (sl1 % CELL))
+                cl = s * cells_seg + i
+                k = jnp.clip(cutsl - cl * CELL, 0, CELL)
+                vmask = (1 << k) - 1
+                smask = jnp.where(k >= CELL, -1,
+                                  (1 << (8 * jnp.minimum(k, CELL - 1))) - 1)
+                sym[cl] = (cacc & smask) | (sym[cl] & ~smask)
+                val[cl] = (nacc & vmask) | (val[cl] & ~vmask)
+                return node
+
+            nodeF[...] = jax.lax.fori_loop(0, SEG // UNROLL, body, nodeF[...])
+
+        # ---- phase-1 epilogue: K4 compaction --------------------------------
+        @pl.when(s == S - 1)
+        def _epi1():
+            cells_pp = -(-cells_p // 128) * 128
+            CW = cells_pp // 128
+            iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+            for r in range(R):
+                symT = sym[:, r, :].T
+                nibT = val[:, r, :].T
+                if cells_pp != cells_p:
+                    pad = cells_pp - cells_p
+                    symT = jnp.concatenate(
+                        [symT, jnp.zeros((128, pad), jnp.int32)], axis=1)
+                    nibT = jnp.concatenate(
+                        [nibT, jnp.zeros((128, pad), jnp.int32)], axis=1)
+                syms, cpacks, npacks = [], [], []
+                for w in range(CW):
+                    sl = slice(w * 128, (w + 1) * 128)
+                    nib = nibT[:, sl]
+                    c2 = ((nib & 1) + ((nib >> 1) & 1)
+                          + ((nib >> 2) & 1) + ((nib >> 3) & 1))
+                    syms.append(symT[:, sl])
+                    if w % 3 == 0:
+                        cpacks.append(c2)
+                    else:
+                        cpacks[-1] = cpacks[-1] | (c2 << (10 * (w % 3)))
+                    if w % 8 == 0:
+                        npacks.append(nib)
+                    else:
+                        npacks[-1] = npacks[-1] | (nib << (4 * (w % 8)))
+                for pi in range(len(cpacks)):
+                    cum = cpacks[pi]
+                    shd = 1
+                    while shd < 128:
+                        cum = cum + jnp.where(
+                            iota >= shd, pltpu.roll(cum, shd, axis=1), 0)
+                        shd <<= 1
+                    cpacks[pi] = cum
+                wpre = [jnp.zeros((128, 1), jnp.int32)]
+                for w in range(CW):
+                    wc = (cpacks[w // 3][:, 127:128] >> (10 * (w % 3))) & 1023
+                    wpre.append(wpre[-1] + wc)
+                max_cnt = jnp.max(wpre[CW])
+                for oc in range(ORP // 128):
+                    @pl.when(max_cnt > oc * 128)
+                    def _ow(oc=oc, syms=syms, cpacks=cpacks, npacks=npacks,
+                            wpre=wpre, r=r):
+                        i_vec = iota + oc * 128
+                        q = jnp.zeros((128, 128), jnp.int32)
+                        wsel = jnp.zeros((128, 128), jnp.int32)
+                        for w in range(1, CW):
+                            ge_ = i_vec >= jnp.broadcast_to(wpre[w],
+                                                            (128, 128))
+                            q = q + ge_.astype(jnp.int32)
+                            wsel = jnp.where(
+                                ge_, jnp.broadcast_to(wpre[w], (128, 128)),
+                                wsel)
+                        qm = [q == w for w in range(1, CW)]
+                        qp3 = jnp.zeros((128, 128), jnp.int32)
+                        for w in range(3, CW, 3):
+                            qp3 = qp3 + (q >= w).astype(jnp.int32)
+                        shc = (q - 3 * qp3) * 10
+                        qp8 = jnp.zeros((128, 128), jnp.int32)
+                        for w in range(8, CW, 8):
+                            qp8 = qp8 + (q >= w).astype(jnp.int32)
+                        shn = (q - 8 * qp8) * 4
+
+                        def selp(packs, qp, idx):
+                            g = jnp.take_along_axis(packs[0], idx, axis=1)
+                            for pi in range(1, len(packs)):
+                                g = jnp.where(
+                                    qp == pi,
+                                    jnp.take_along_axis(packs[pi], idx,
+                                                        axis=1), g)
+                            return g
+
+                        want = i_vec - wsel + 1
+                        pos = jnp.zeros((128, 128), jnp.int32)
+                        cbelow = jnp.zeros((128, 128), jnp.int32)
+                        t = 64
+                        while t:
+                            npos = pos + t
+                            c = (selp(cpacks, qp3, npos - 1) >> shc) & 1023
+                            take = c < want
+                            pos = jnp.where(take, npos, pos)
+                            cbelow = jnp.where(take, c, cbelow)
+                            t >>= 1
+                        nibg = (selp(npacks, qp8, pos) >> shn) & 15
+                        cell = jnp.take_along_axis(syms[0], pos, axis=1)
+                        for w in range(1, CW):
+                            cell = jnp.where(
+                                qm[w - 1],
+                                jnp.take_along_axis(syms[w], pos, axis=1),
+                                cell)
+                        q1 = nibg & 1
+                        q2 = q1 + ((nibg >> 1) & 1)
+                        q3 = q2 + ((nibg >> 2) & 1)
+                        rc_ = (want - 1) - cbelow
+                        p8 = ((rc_ >= q1).astype(jnp.int32)
+                              + (rc_ >= q2) + (rc_ >= q3)) << 3
+                        out_ref[r * 128:(r + 1) * 128,
+                                oc * 128:(oc + 1) * 128] = (
+                            (cell >> p8) & 0xFF).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "B", "H", "G", "steps", "steps_p", "SEG", "md", "C0", "C1", "NS",
+    "ORP", "interpret"))
+def oneshot_program(w2, tabq, lim2, *, B, H, G, steps, steps_p, SEG, md,
+                    C0, C1, NS, ORP, interpret=False):
+    """Single-dispatch fused decode from lane payload words.  Returns
+    (denseT (G, ORP) u8, n (G,) i32, fence i32)."""
+    from huffmandecoderongpus_tpu.ops.pallas_widescan import (
+        words_matrix_device,
+    )
+
+    R = G // 128
+    S = steps_p // SEG
+    CH = max(H - 1, 1)
+    HP = -(-(CH + 1) // 8) * 8
+    cells_p = steps_p // md // CELL
+    steps_w = -(-steps_p // 32)
+    wmat = words_matrix_device(w2, steps_w)
+    kern = functools.partial(
+        _oneshot_kernel, B=B, H=H, steps=steps, SEG=SEG, md=md, CH=CH,
+        HP=HP, R=R, C0=C0, C1=C1, NS=NS, cells_p=cells_p, ORP=ORP)
+    denseT, n2 = pl.pallas_call(
+        kern,
+        grid=(2, S),
+        in_specs=[
+            pl.BlockSpec((2 * NS, 128), lambda p, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda p, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((steps_w, R, 128), lambda p, s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((G, ORP), lambda p, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda p, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, ORP), jnp.uint8),
+            jax.ShapeDtypeStruct((R, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((cells_p, R, 128), jnp.int32),   # sym cells
+            pltpu.VMEM((cells_p, R, 128), jnp.int32),   # val nibbles
+            pltpu.VMEM((R, 128), jnp.int32),            # node0
+            pltpu.VMEM((R, 128), jnp.int32),            # cnt0
+            pltpu.VMEM((R, 128), jnp.int32),            # done0
+            pltpu.VMEM((R, 128), jnp.int32),            # exit0
+            pltpu.VMEM((CH, R, 128), jnp.int32),        # nodeC
+            pltpu.VMEM((CH, R, 128), jnp.int32),        # cntC
+            pltpu.VMEM((CH, R, 128), jnp.int32),        # recC
+            pltpu.VMEM((CH, R, 128), jnp.int32),        # cumMC
+            pltpu.VMEM((SEG // 2, R, 128), jnp.int32),  # v_scr
+            pltpu.VMEM((SEG // 2, R, 128), jnp.int32),  # cum_scr
+            pltpu.VMEM((HP, R, 128), jnp.int32),        # cntmap
+            pltpu.VMEM((HP, R, 128), jnp.int32),        # exmap
+            pltpu.VMEM((HP, R, 128), jnp.int32),        # mrowmap
+            pltpu.VMEM((128, R, 128), jnp.int32),       # EXT (transposed ex)
+            pltpu.VMEM((R, 128), jnp.int32),            # ent_scr
+            pltpu.VMEM((R, 128), jnp.int32),            # cut_scr
+            pltpu.VMEM((R, 128), jnp.int32),            # cutsl_scr
+            pltpu.VMEM((R, 128), jnp.int32),            # nodeF
+        ],
+        interpret=interpret,
+    )(tabq, lim2, wmat)
+    n = n2.reshape(G)
+    fence = jnp.sum(n) + denseT[0, 0].astype(jnp.int32)
+    return denseT, n, fence
+
+
+#: VMEM budget for the one-shot working set (bytes); beyond it the
+#: 4-kernel widescan program takes over.  ~10 MB leaves headroom under the
+#: 16 MB/core VMEM for the in/out blocks and compiler temporaries.
+ONESHOT_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def oneshot_eligible(st) -> bool:
+    """Whether a stage_widescan_inputs dict fits the one-shot kernel:
+    chunked tree, one row group (G <= 4096), whole working set in VMEM."""
+    p = st["plan"]
+    if not st["chunk2"]:
+        return False
+    G = p["G"]
+    R = G // 128
+    if R > 32:
+        return False
+    H, md = st["H"], st["md"]
+    CH = max(H - 1, 1)
+    HP = -(-(CH + 1) // 8) * 8
+    cells_p = p["steps_p"] // md // CELL
+    steps_w = -(-p["steps_p"] // 32)
+    words = (cells_p * 2 * R * 128          # sym + val
+             + steps_w * R * 128            # word matrix
+             + CH * 4 * R * 128             # candidate scratch
+             + (p["SEG"] // 2) * 2 * R * 128  # v/cum
+             + HP * 3 * R * 128             # maps
+             + 128 * R * 128                # EXT
+             + G * p["ORP"] // 4            # dense out (u8)
+             + 8 * R * 128)
+    return words * 4 <= ONESHOT_VMEM_BUDGET
+
+
+def decode_oneshot(hf, lanes=None, check_size=True, interpret=False):
+    """Decode via the single-dispatch fused kernel.  Raises EnvelopeError
+    when the stream/tree is outside the one-shot envelope (callers fall
+    back to decode_widescan)."""
+    from huffmandecoderongpus_tpu.ops.pallas_widescan import (
+        EnvelopeError,
+        stage_widescan_inputs,
+    )
+
+    st = stage_widescan_inputs(hf, lanes=lanes)
+    if not oneshot_eligible(st):
+        raise EnvelopeError("stream outside the one-shot VMEM envelope")
+    return decode_oneshot_staged(hf, st, check_size=check_size,
+                                 interpret=interpret)
+
+
+def decode_oneshot_staged(hf, st, check_size=True, interpret=False):
+    """One-shot decode from an already-staged input dict (the
+    decode_widescan router calls this to avoid re-staging)."""
+    from huffmandecoderongpus_tpu.ops.pallas_widescan import EnvelopeError
+
+    p = st["plan"]
+    denseT, n, _fence = oneshot_program(
+        st["words"], st["tabw"], st["lim2"], B=p["B"], H=st["H"], G=p["G"],
+        steps=p["steps"], steps_p=p["steps_p"], SEG=p["SEG"], md=st["md"],
+        C0=st["C0"], C1=st["C1"], NS=st["NS"], ORP=p["ORP"],
+        interpret=interpret)
+    dense = np.asarray(denseT)
+    counts = np.asarray(n)
+    if counts.max(initial=0) > p["ORP"]:
+        raise EnvelopeError("a lane overflowed the dense buffer")
+    mask = np.arange(p["ORP"])[None, :] < counts[:, None]
+    out = dense[mask]
+    if check_size and out.size != hf.uncompressed_size:
+        raise RuntimeError(
+            f"emitted {out.size} symbols, header says {hf.uncompressed_size}")
+    return out

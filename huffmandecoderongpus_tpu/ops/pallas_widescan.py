@@ -8,22 +8,27 @@ keeps the VPU throughput-bound, and fuses the whole decode into four
 kernels inside one XLA program:
 
   K1  main scan + self-synchronizing candidate discovery
-      - the stream is cut into G lanes of B bits; bit j of lane r*128+c is
-        bits3[j, r, c]; the kernel's grid walks step segments with the
-        per-lane DFA state carried in VMEM scratch (TPU grids run
-        sequentially, so scratch persists across segments).
+      - the stream is cut into G lanes of B bits; the kernel reads raw
+        *payload words*: word w of lane r*128+c is wmat[w, r, c], and a
+        2-bit chunk is two static shifts + masks off the VMEM-resident
+        word row (round 4; previously a host-built per-bit/per-chunk u8
+        matrix — 16x the staging work and VMEM traffic).  Stream-end
+        handling is a per-chunk limit compare against the per-lane bit
+        count (replaces the round-3 in-data PAD values and the
+        reference's explicit size checks, pes.c:30-46).
       - one *paired* transition table word per state (word = entry(bit=0)
-        | entry(bit=1)<<16, entry = sym<<8|emit<<7|next_state) makes a
-        step a single 128-wide lane gather + shifts up to 127 internal
-        states (all 8 reference corpora qualify); deeper trees — up to
-        1023 states, md=1 included — chunk the table into NS 128-state
-        rows with a wide 16-bit entry layout (see pack_pair_table),
-        costing one extra gather + select per extra chunk.
-      - stream-end handling is folded into the *data*: padding "bits" have
-        value 2, which the extract maps to a zero entry (no emission,
-        state->0); past-the-end chains therefore count nothing, so no
-        per-step stream-limit compare and no post-masking is needed
-        (replaces the reference's explicit size checks, pes.c:30-46).
+        | entry(bit=1)<<16) makes a step a single 128-wide lane gather +
+        shifts up to 127 internal states (all 8 reference corpora
+        qualify); deeper trees — up to 1023 states, md=1 included —
+        chunk the table into NS 128-state rows with a wide 16-bit entry
+        layout (see pack_pair_table), costing one extra gather + select
+        per extra chunk.
+      - compact 16-bit entries store the *post-step state* directly
+        (round 4): an emitting chunk's next state is static per entry
+        (pos==1 -> root, pos==0 -> the root child of the chunk's second
+        bit), so the hot loop's next-state is one AND — no root-child
+        select chain; the emission position is recovered as
+        emit & (state == 0) only where needed.
       - emissions land in *slot* rows j // md (md = min code length): two
         emissions can never share a slot (consecutive codewords are >= md
         bits apart), so this is a lossless 2-3x densification that
@@ -59,6 +64,13 @@ kernels inside one XLA program:
       therefore ends with dense bytes + counts in HBM; the host only
       trims/concatenates.
 
+Staging (round 4, the copy/compute-overlap analog of the reference's
+two-stream upload pipeline, fastgpuOpt1.cu:197-241): the only host-side
+per-decode work is one padded copy of the payload bytes into a (G, B/32)
+little-endian word array (`payload_lane_words`); the halo'd
+(steps_w, R, 128) word matrix the kernels read is built ON DEVICE by one
+XLA transpose inside the decode program (`words_matrix_device`).
+
 Reference semantics covered: decode-from-every-bit + combine
 (/root/reference/framework/pes.c:30-104) with the per-level host readback
 (fastgpu.cu:245-261) replaced by the fused on-device composition.
@@ -67,6 +79,7 @@ Reference semantics covered: decode-from-every-bit + combine
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -77,13 +90,14 @@ from jax.experimental.pallas import tpu as pltpu
 from huffmandecoderongpus_tpu.ops.lanedfa import EMIT_BIT, STATE_MASK, LaneDFA
 
 MAX_STATES = 127  # paired-table limit: state field is 7 bits
-PAD_BIT = 2  # bits3 value marking "past stream end" (kills emissions)
 # Emissions are stored packed CELL slots per int32 "cell": byte cs of the
 # cell word is the symbol of slot 4*cell+cs and a u8 nibble carries the
-# per-slot valid bits.  _plan guarantees every kernel body covers whole
-# cells (UNROLL/md is 4 or 8); the packing shrinks K4's compaction search
+# per-slot valid bits.  _plan guarantees segments cover whole cells
+# (SEG % (CELL*md) == 0); the packing shrinks K4's compaction search
 # space and the valid-mask HBM traffic 4x at zero extra scan cost.
 CELL = 4
+
+MAX_STATES_WIDE = 1023  # LaneDFA STATE_MASK bound; wide entries hold 15 bits
 
 
 # ---------------------------------------------------------------------------
@@ -97,11 +111,11 @@ def pack_pair_table(dfa: LaneDFA) -> np.ndarray:
 
     Two 16-bit entry layouts (mirrors pack_quad_tables): up to 127
     states the compact layout e = sym<<8 | emit<<7 | next_state with
-    non-emitting sym bits zero (slot-accumulation can OR); beyond that
-    the *wide* layout (emit<<15 | sym<<1 when emitting — post-emission
-    state is the root — or a bare state <= 32767) so md=1 trees up to
-    1023 internal states stay on the fused path.  Raises ValueError
-    beyond MAX_STATES_WIDE."""
+    non-emitting sym bits zero (slot-accumulation can OR) and the
+    emitting next state = 0 (root reset); beyond that the *wide* layout
+    (emit<<15 | sym<<1 when emitting — post-emission state is the root —
+    or a bare state <= 32767) so md=1 trees up to 1023 internal states
+    stay on the fused path.  Raises ValueError beyond MAX_STATES_WIDE."""
     n_states = dfa.entry.shape[0] // 2
     if n_states > MAX_STATES_WIDE:
         raise ValueError(
@@ -123,22 +137,118 @@ def pack_pair_table(dfa: LaneDFA) -> np.ndarray:
     return out.astype(np.uint32).view(np.int32)
 
 
+def pack_quad_tables(dfa: LaneDFA):
+    """(2 * NS, 128) int32 quad tables + (C0, C1, NS).  Row b0*NS + c
+    holds states [c*128, c*128+128), selected by the chunk's first bit;
+    the second bit picks the 16-bit half.  Requires md >= 2 (caller
+    checks).
+
+    Two 16-bit entry layouts: up to 127 states the compact layout
+    sym<<8 | emit<<7 | post_state — the post-chunk state is static per
+    entry (pos==1 -> 0/root, pos==0 -> C[b1]), so the kernels take the
+    next state unconditionally from the low 7 bits, and the emission
+    position is recovered as emit & (post==0) (root children C0/C1 are
+    internal, never 0).  Non-emitting entries carry sym bits zero (the
+    cell accumulation can OR).  Beyond 127 states the *wide* layout
+    (emit<<15 | sym<<1 | pos when emitting, bare state <= 32767
+    otherwise) with one extra select per kernel step."""
+    n_states = dfa.entry.shape[0] // 2
+    if n_states > MAX_STATES_WIDE:
+        raise ValueError(
+            f"{n_states} states > {MAX_STATES_WIDE} (wide quad table)")
+    big = n_states > MAX_STATES
+    NS = max(1, -(-n_states // 128))
+    ent = dfa.entry.astype(np.int64)
+
+    C = []
+    for b in (0, 1):
+        if ent[b] & EMIT_BIT:
+            raise ValueError("md < 2: root child is a leaf")
+        C.append(int(ent[b] & STATE_MASK))
+
+    def emit16(e, pos, b1):
+        sym = int((e >> 16) & 0xFF)
+        if big:
+            return 0x8000 | (sym << 1) | pos
+        post = 0 if pos == 1 else C[b1]
+        return (sym << 8) | 0x80 | post
+
+    # accumulate in int64: a sign-bit-setting entry in the high
+    # half-word would overflow a python-int -> int32 store; the final
+    # astype wraps to the int32 bit pattern the kernel expects
+    out = np.zeros((2 * NS, 128), dtype=np.int64)
+    for st in range(n_states):
+        for b0 in (0, 1):
+            e0 = ent[2 * st + b0]
+            for b1 in (0, 1):
+                if e0 & EMIT_BIT:
+                    e16 = emit16(e0, 0, b1)
+                else:
+                    s1 = int(e0 & STATE_MASK)
+                    e1 = ent[2 * s1 + b1]
+                    if e1 & EMIT_BIT:
+                        e16 = emit16(e1, 1, b1)
+                    else:
+                        e16 = int(e1 & STATE_MASK)
+                out[b0 * NS + st // 128, st % 128] |= e16 << (16 * b1)
+    return out.astype(np.uint32).view(np.int32), C[0], C[1], NS
+
+
 # ---------------------------------------------------------------------------
-# Bit-matrix layout
+# Word staging: host pads payload bytes into lane-major words; the halo'd
+# word matrix the kernels read is built on device (one XLA transpose).
 
 
-def bits3_matrix(payload: np.ndarray, bits: int, G: int, B: int, steps_p: int):
-    """(steps_p, R, 128) uint8: element [j, r, c] is stream bit
-    (r*128+c)*B + j; positions past the stream end hold PAD_BIT."""
-    from huffmandecoderongpus_tpu.huffio.bitio import unpack_bits
+def payload_lane_words(payload: np.ndarray, bits: int, G: int,
+                       B: int) -> np.ndarray:
+    """(G, B//32) int32 lane-major payload words: word w of lane g holds
+    stream bits [g*B + 32w, g*B + 32w + 32), LSB-first (bit p of the
+    stream is bit p%32 of word p//32 — the `.huff` bit order,
+    huffdata.c:55-61 / mainrun.c:45, viewed little-endian).  Bits at or
+    past the stream end are ZERO: the kernels' per-lane limit compare is
+    the pad test, so zeros here are never decoded — except a straddling
+    chunk's harmless literal-0 second bit (md >= 2: one bit can neither
+    complete a fresh codeword nor emit from the root)."""
+    assert B % 32 == 0
+    nbytes = G * B // 8
+    buf = np.zeros(nbytes, dtype=np.uint8)
+    nb = min(int(payload.size), nbytes)
+    buf[:nb] = payload[:nb]
+    full, rem = divmod(bits, 8)
+    if full < nb:
+        if rem:
+            buf[full] &= (1 << rem) - 1
+            buf[full + 1:nb] = 0
+        else:
+            buf[full:nb] = 0
+    return buf.view("<u4").view(np.int32).reshape(G, B // 32)
 
+
+def words_matrix_device(w2: jnp.ndarray, steps_w: int) -> jnp.ndarray:
+    """Device-side staging pass: (G, BW) lane words -> (steps_w, R, 128)
+    halo'd word matrix.  Word rows >= BW are the following lanes' first
+    words (candidate chains read up to ~H bits past the lane end), built
+    by lane-shifted copies of the transposed main block — all XLA, no
+    gather; the host's only per-decode work stays the padded word copy
+    (the device-side counterpart of the reference's upload/compute
+    overlap, fastgpuOpt1.cu:197-241)."""
+    G, BW = w2.shape
     R = G // 128
-    flat = np.full(G * B + steps_p, PAD_BIT, dtype=np.uint8)
-    flat[:bits] = unpack_bits(payload, bits)
-    flat[bits:G * B + steps_p] = PAD_BIT  # also clear intra-stream tail pad
-    mat = np.lib.stride_tricks.as_strided(
-        flat, shape=(steps_p, G), strides=(1, B))
-    return np.ascontiguousarray(mat).reshape(steps_p, R, 128)
+    main = w2.T  # (BW, G)
+    rows = [main]
+    need = steps_w - BW
+    k = 1
+    while need > 0:
+        take = min(BW, need)
+        rows.append(jnp.concatenate(
+            [main[:take, k:], jnp.zeros((take, k), jnp.int32)], axis=1))
+        need -= take
+        k += 1
+    return jnp.concatenate(rows, axis=0).reshape(steps_w, R, 128)
+
+
+# ---------------------------------------------------------------------------
+# Entry decode helpers
 
 
 def _pair_word(tab_ref, NS, rows, node):
@@ -160,22 +270,70 @@ def _pair_word(tab_ref, NS, rows, node):
 def _e1_fields(e, NS):
     """(emit, sym32, nst) of a 16-bit 1-bit-path entry; layout per
     pack_pair_table (wide iff NS > 1).  ``sym32`` arrives emit-masked
-    in the wide layout; the compact layout's non-emitting sym is zero
-    by construction."""
+    in both layouts (the compact layout's non-emitting sym is zero by
+    construction)."""
     if NS > 1:
         emit = (e >> 15) & 1
         return emit, emit * ((e >> 1) & 0xFF), (1 - emit) * (e & 0x7FFF)
     return (e >> 7) & 1, e >> 8, e & 127
 
 
+def _quad_word(tab_ref, NS, rows, node, b0=None):
+    """Quad-table words for each lane: table[.][node], NS 128-state
+    chunks (row b0*NS + c of tab_ref holds states [c*128, c*128+128)).
+    Returns the b0-selected word, or the (w0, w1) pair when b0 is None
+    (so callers can select at a broadcast-friendlier shape)."""
+    if NS == 1:
+        tb0 = jnp.broadcast_to(tab_ref[0:1, :], (rows, 128))
+        tb1 = jnp.broadcast_to(tab_ref[1:2, :], (rows, 128))
+        w0 = jnp.take_along_axis(tb0, node, axis=1)
+        w1 = jnp.take_along_axis(tb1, node, axis=1)
+    else:
+        nl = node & 127
+        nh = node >> 7
+        w0 = w1 = None
+        for c in range(NS):
+            t0 = jnp.broadcast_to(tab_ref[c:c + 1, :], (rows, 128))
+            t1 = jnp.broadcast_to(tab_ref[NS + c:NS + c + 1, :],
+                                  (rows, 128))
+            g0 = jnp.take_along_axis(t0, nl, axis=1)
+            g1 = jnp.take_along_axis(t1, nl, axis=1)
+            w0 = g0 if c == 0 else jnp.where(nh == c, g0, w0)
+            w1 = g1 if c == 0 else jnp.where(nh == c, g1, w1)
+    if b0 is None:
+        return w0, w1
+    return jnp.where(b0 > 0, w1, w0)
+
+
+def _e_step2(e, NS, rc):
+    """(emit, pos, sym32, node) of a 16-bit chunked entry (layout per
+    pack_quad_tables).  ``sym32`` arrives emit-masked in both layouts.
+    Compact: the post-chunk state is stored in the entry, so ``node`` is
+    one AND and ``pos`` (= emit & post==0) costs only where consumed
+    (XLA/Mosaic DCE drops it in the hot light-segment paths).  Wide:
+    the post state is reconstructed from ``rc`` (the chunk's second-bit
+    root child) as before."""
+    if NS > 1:
+        emit = (e >> 15) & 1
+        pos = e & 1
+        sym32 = emit * ((e >> 1) & 0xFF)
+        node = jnp.where(emit > 0, (1 - pos) * rc, e & 0x7FFF)
+        return emit, pos, sym32, node
+    emit = (e >> 7) & 1
+    node = e & 127
+    sym32 = e >> 8
+    pos = jnp.where(node == 0, emit, 0)
+    return emit, pos, sym32, node
+
+
 # ---------------------------------------------------------------------------
-# K1: fused main scan + candidate discovery
+# K1 (1-bit path): fused main scan + candidate discovery
 
 
 def _k1_kernel(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
                cntmap_ref, exmap_ref, mrowmap_ref,
                node0, cnt0, done0, exit0, nodeC, cntC, recC, cumMC,
-               v_scr, cum_scr, *, B, H, steps, SEG, UNROLL, md, CH, HP, RB,
+               v_scr, cum_scr, *, B, H, steps, SEG, md, CH, HP, RB,
                NS=1):
     # grid = (row-groups, segments), segments innermost: the kernel walks
     # all segments of RB sublane rows of lanes before moving to the next
@@ -197,34 +355,45 @@ def _k1_kernel(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
         recC[...] = zc
         cumMC[...] = zc
 
+    lim = lim_ref[...]
     # candidate liveness for THIS segment, computed up front: recC holds
     # resolution through segment s-1, so the main pass can skip the
     # v_scr/cum_scr stores (only the candidate pass reads them) in the
     # post-tail segments where every chain is already resolved
     live_any = jnp.int32(0)
-    lim_ok = (lim_ref[...] > s * SEG).astype(jnp.int32)
+    lim_ok = (lim > s * SEG).astype(jnp.int32)
     for c in range(CH):
         live_any = jnp.maximum(
             live_any, jnp.max((1 - (recC[c] & 1)) * lim_ok))
 
+    UNROLL = 8 if md == 1 else 4 * md  # one/two packed cells per body
+
     # ---- main 0-chain pass over this segment ------------------------------
+    # bits arrive as raw 32-bit payload words; the in-word shift is a
+    # SCALAR (same for all lanes), so extraction is a scalar-operand
+    # vector shift + mask — Mosaic constant-folds row/shift once the
+    # fori unrolls
     def main_block(track_exit, store_scr):
+        n_cells = UNROLL // md // CELL
+
         def body(i, carry):
             node, cnt, done, ex0 = carry
-            for tc in range(UNROLL // md // CELL):
+            for tc in range(n_cells):
                 cacc = jnp.zeros((R, 128), jnp.int32)
                 nacc = jnp.zeros((R, 128), jnp.int32)
                 for cs in range(CELL):
                     for u in range(md):
                         lj = i * UNROLL + (tc * CELL + cs) * md + u
                         j = s * SEG + lj
-                        b = bits_ref[lj].astype(jnp.int32)
+                        wrow = bits_ref[j // 32]
+                        b = (wrow >> (j % 32)) & 1
                         w = _pair_word(tab_ref, NS, R, node)
-                        e = (w >> ((b & 1) << 4)) & 0xFFFF
-                        e = jnp.where(b >= PAD_BIT, 0, e)
+                        e = (w >> (b << 4)) & 0xFFFF
+                        e = jnp.where(lim > j, e, 0)
                         emit1, sym32, node = _e1_fields(e, NS)
                         if track_exit:
                             emit1 = emit1 * (1 - done)
+                            sym32 = jnp.where(emit1 > 0, sym32, 0)
                             exiting = emit1 * jnp.where(j + 1 >= B, 1, 0)
                             ex0 = jnp.where(exiting > 0, j + 1 - B, ex0)
                             done = done | exiting
@@ -281,21 +450,21 @@ def _k1_kernel(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
             node, cnt, rec, cum = carry
             lj = i
             j = s * SEG + lj
-            b = bits_ref[lj].astype(jnp.int32)
-            sh = ((b & 1) << 4)[None]
-            pm = (b >= PAD_BIT)[None]
+            wrow = bits_ref[j // 32]
+            b = ((wrow >> (j % 32)) & 1)[None]
+            valid = (lim > j)[None]
             v0 = v_scr[lj][None]
             cum0 = cum_scr[lj][None]
             late = jnp.where(j + 1 >= B, 1, 0)
             rec_val = (v0 << 1) + ((j << 2) | 1)
-            live = (1 - (rec & 1)) * jnp.where(j >= chain_of + 1, 1, 0)
+            alive = (1 - (rec & 1)) * jnp.where(j >= chain_of + 1, 1, 0)
             w = _pair_word(tab_ref, NS, CH * R,
                            node.reshape(CH * R, 128)).reshape(CH, R, 128)
-            e = (w >> sh) & 0xFFFF
-            e = jnp.where(pm, 0, e)
+            e = (w >> (b << 4)) & 0xFFFF
+            e = jnp.where(valid, e, 0)
             emit1, _sym, nst = _e1_fields(e, NS)
-            node = jnp.where(live > 0, nst, node)
-            em = emit1 * live
+            node = jnp.where(alive > 0, nst, node)
+            em = emit1 * alive
             cnt = cnt + em
             resolve = (em * (v0 | late)) > 0
             rec = jnp.where(resolve, rec_val, rec)
@@ -336,21 +505,25 @@ def _k1_kernel(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
 @functools.partial(jax.jit, static_argnames=(
     "B", "H", "G", "steps", "steps_p", "SEG", "UNROLL", "md", "RB",
     "interpret"))
-def k1_scan(bits3, tabw, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL, md,
+def k1_scan(wmat, tabw, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL, md,
             RB=0, interpret=False):
+    """1-bit K1 over the halo'd word matrix ``wmat`` (steps_p//32, R, 128)
+    int32 (see words_matrix_device)."""
+    UNROLL0 = UNROLL
+    del UNROLL
     R = G // 128
     RB = min(RB or R, R)
     RG = R // RB
     S = steps_p // SEG
     CH = max(H - 1, 1)
     HP = -(-(CH + 1) // 8) * 8
-    if (UNROLL // md) % CELL or (SEG // md) % CELL:
+    if (UNROLL0 // md) % CELL or (SEG // md) % CELL:
         raise ValueError("UNROLL/md must cover whole cells (see _plan)")
     cells_seg = SEG // md // CELL
     cells_p = steps_p // md // CELL
     NS = tabw.shape[0]  # static under jit; > 1 selects the wide layout
     kern = functools.partial(
-        _k1_kernel, B=B, H=H, steps=steps, SEG=SEG, UNROLL=UNROLL,
+        _k1_kernel, B=B, H=H, steps=steps, SEG=SEG,
         md=md, CH=CH, HP=HP, RB=RB, NS=NS)
     return pl.pallas_call(
         kern,
@@ -360,7 +533,8 @@ def k1_scan(bits3, tabw, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL, md,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((RB, 128), lambda rg, s: (rg, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SEG, RB, 128), lambda rg, s: (s, rg, 0),
+            pl.BlockSpec((wmat.shape[0], RB, 128),
+                         lambda rg, s: (0, rg, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -395,148 +569,28 @@ def k1_scan(bits3, tabw, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL, md,
             pltpu.VMEM((SEG, RB, 128), jnp.int32),     # cum_scr
         ],
         interpret=interpret,
-    )(tabw, lim2, bits3)
+    )(tabw, lim2, wmat)
 
 
 # ---------------------------------------------------------------------------
-# 2-bit chunked scan variants (k-bit chunking role: jumptableapproach.c:
-# 173-258 — the reference folds k bits per DFA step; here k=2 halves the
-# per-bit bookkeeping of every scan while the gather rate stays 1/bit)
+# K1 (2-bit chunked path; k-bit chunking role: jumptableapproach.c:173-258 —
+# the reference folds k bits per DFA step; here k=2 halves the per-bit
+# bookkeeping of every scan while the gather rate stays 1/bit).
 #
 # Requires md >= 2 (min code length): then a 2-bit chunk holds at most
 # one emission and a root restart never re-emits within the chunk, so a
-# 16-bit composite entry suffices:
-#   emit=1:  sym<<8 | 0x80 | pos      (pos = which chunk bit emitted;
-#            the post-emission state is pos==1 ? root : root_child[b1],
-#            recovered from the C0/C1 constants at decode time)
-#   emit=0:  next_state (7 bits)
-# packed as two per-state int32 words T_b0 = e(b1=0) | e(b1=1)<<16.
-
-PAD2 = 4  # bits2 value marking a past-the-end chunk
-
-
-MAX_STATES_WIDE = 1023  # LaneDFA STATE_MASK bound; wide entries hold 15 bits
-
-
-def pack_quad_tables(dfa: LaneDFA):
-    """(2 * NS, 128) int32 quad tables + (C0, C1, NS).  Row b0*NS + c
-    holds states [c*128, c*128+128), selected by the chunk's first bit;
-    the second bit picks the 16-bit half.  Requires md >= 2 (caller
-    checks).
-
-    Two 16-bit entry layouts: up to 127 states the compact layout
-    (sym<<8 | emit<<7 | pos, state in 7 low bits, non-emitting sym bits
-    zero — lets the kernels mask the next state unconditionally); beyond
-    that the *wide* layout (emit<<15 | sym<<1 | pos when emitting, bare
-    state <= 32767 otherwise) with one extra select per kernel step."""
-    n_states = dfa.entry.shape[0] // 2
-    if n_states > MAX_STATES_WIDE:
-        raise ValueError(
-            f"{n_states} states > {MAX_STATES_WIDE} (wide quad table)")
-    big = n_states > MAX_STATES
-    NS = max(1, -(-n_states // 128))
-    ent = dfa.entry.astype(np.int64)
-
-    def emit16(e, pos):
-        sym = int((e >> 16) & 0xFF)
-        if big:
-            return 0x8000 | (sym << 1) | pos
-        return (sym << 8) | 0x80 | pos
-
-    C = []
-    for b in (0, 1):
-        if ent[b] & EMIT_BIT:
-            raise ValueError("md < 2: root child is a leaf")
-        C.append(int(ent[b] & STATE_MASK))
-    # accumulate in int64: a sign-bit-setting entry in the high
-    # half-word would overflow a python-int -> int32 store; the final
-    # astype wraps to the int32 bit pattern the kernel expects
-    out = np.zeros((2 * NS, 128), dtype=np.int64)
-    for st in range(n_states):
-        for b0 in (0, 1):
-            e0 = ent[2 * st + b0]
-            for b1 in (0, 1):
-                if e0 & EMIT_BIT:
-                    e16 = emit16(e0, 0)
-                else:
-                    s1 = int(e0 & STATE_MASK)
-                    e1 = ent[2 * s1 + b1]
-                    if e1 & EMIT_BIT:
-                        e16 = emit16(e1, 1)
-                    else:
-                        e16 = int(e1 & STATE_MASK)
-                out[b0 * NS + st // 128, st % 128] |= e16 << (16 * b1)
-    return out.astype(np.uint32).view(np.int32), C[0], C[1], NS
-
-
-def bits2_matrix(payload: np.ndarray, bits: int, G: int, B: int,
-                 steps_p: int):
-    """(steps_p//2, R, 128) uint8 of 2-bit chunks: element [j2, r, c]
-    packs stream bits (r*128+c)*B + 2*j2 (bit0) and +2*j2+1 (bit1) as
-    b0 | b1<<1; past-the-end chunks hold PAD2.  An odd-length stream is
-    extended with one literal 0 bit — harmless for md >= 2 trees (one
-    bit can neither complete a fresh codeword nor emit from the root,
-    and a pre-merge 0-chain's spurious count would cancel in
-    cnt0(end) - cum0(merge))."""
-    from huffmandecoderongpus_tpu.huffio.bitio import unpack_bits
-
-    R = G // 128
-    assert B % 2 == 0 and steps_p % 2 == 0
-    bits_eff = bits + (bits & 1)
-    flat = np.zeros(G * B + steps_p, dtype=np.uint8)
-    flat[:bits] = unpack_bits(payload, bits)
-    flat[bits:bits_eff] = 0
-    flatC = (flat[0::2] | (flat[1::2] << 1)).astype(np.uint8)
-    flatC[bits_eff // 2:] = PAD2  # contiguous past-the-end tail
-    mat = np.lib.stride_tricks.as_strided(
-        flatC, shape=(steps_p // 2, G), strides=(1, B // 2))
-    return np.ascontiguousarray(mat).reshape(steps_p // 2, R, 128)
-
-
-def _quad_word(tab_ref, NS, rows, node, b0=None):
-    """Quad-table words for each lane: table[.][node], NS 128-state
-    chunks (row b0*NS + c of tab_ref holds states [c*128, c*128+128)).
-    Returns the b0-selected word, or the (w0, w1) pair when b0 is None
-    (so callers can select at a broadcast-friendlier shape)."""
-    if NS == 1:
-        tb0 = jnp.broadcast_to(tab_ref[0:1, :], (rows, 128))
-        tb1 = jnp.broadcast_to(tab_ref[1:2, :], (rows, 128))
-        w0 = jnp.take_along_axis(tb0, node, axis=1)
-        w1 = jnp.take_along_axis(tb1, node, axis=1)
-    else:
-        nl = node & 127
-        nh = node >> 7
-        w0 = w1 = None
-        for c in range(NS):
-            t0 = jnp.broadcast_to(tab_ref[c:c + 1, :], (rows, 128))
-            t1 = jnp.broadcast_to(tab_ref[NS + c:NS + c + 1, :],
-                                  (rows, 128))
-            g0 = jnp.take_along_axis(t0, nl, axis=1)
-            g1 = jnp.take_along_axis(t1, nl, axis=1)
-            w0 = g0 if c == 0 else jnp.where(nh == c, g0, w0)
-            w1 = g1 if c == 0 else jnp.where(nh == c, g1, w1)
-    if b0 is None:
-        return w0, w1
-    return jnp.where(b0 > 0, w1, w0)
-
-
-def _e_fields(e, NS):
-    """(emit, pos, sym32, nst) of a 16-bit entry; layout per
-    pack_quad_tables (wide iff NS > 1).  ``sym32`` is only meaningful
-    under ``emit`` in the wide layout — callers already mask."""
-    if NS > 1:
-        return (e >> 15) & 1, e & 1, (e >> 1) & 0xFF, e & 0x7FFF
-    return (e >> 7) & 1, e & 1, e >> 8, e & 127
+# 16-bit composite entry suffices (see pack_quad_tables), packed as two
+# per-state int32 words T_b0 = e(b1=0) | e(b1=1)<<16.
 
 
 def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
                 cntmap_ref, exmap_ref, mrowmap_ref,
                 node0, cnt0, done0, exit0, nodeC, cntC, recC, cumMC,
-                v_scr, cum_scr, *, B, H, steps, SEG, UNROLL, md, CH, HP,
+                v_scr, cum_scr, *, B, H, steps, SEG, md, CH, HP,
                 RB, C0, C1, NS, discover=True):
-    """Chunked twin of _k1_kernel: same grid/specs, bits arrive paired
-    (SEG//2 chunk rows per segment), v_scr holds the 0-chain's per-chunk
-    emission position mask (emit << pos)."""
+    """Chunked twin of _k1_kernel: same grid/specs, 2-bit chunks
+    extracted from the word rows with static shifts; v_scr holds the
+    0-chain's per-chunk emission position mask (emit << pos)."""
     R = RB
     s = pl.program_id(1)
 
@@ -553,6 +607,7 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
         recC[...] = zc
         cumMC[...] = zc
 
+    lim = lim_ref[...]
     # Candidate liveness per *chain group*, groups = start-row residue
     # classes mod md (sub-split to <= 6 chains), laid out contiguously in
     # scratch: a phase-locked run (e.g. an 'abab' stretch with 2-bit
@@ -572,7 +627,7 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
                 if sub:
                     GROUPS.append((len(SROWS), sub[0], len(sub)))
                     SROWS.extend(sub)
-    lim_ok = (lim_ref[...] > s * SEG).astype(jnp.int32)
+    lim_ok = (lim > s * SEG).astype(jnp.int32)
     glive = []
     live_any = jnp.int32(0)
     for (base, r0, n) in GROUPS:
@@ -582,34 +637,35 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
         glive.append(lg)
         live_any = jnp.maximum(live_any, lg)
 
-    def chunk_entry(node, b, rows=None):
-        """One composite 2-bit lookup.  Returns (e, rc) with e the
-        selected 16-bit entry (0 for pad) and rc the root child of the
-        chunk's second bit."""
-        b0 = b & 1
-        b1 = (b >> 1) & 1
-        w = _quad_word(tab_ref, NS, rows or R, node, b0)
-        e = (w >> (b1 << 4)) & 0xFFFF
-        e = jnp.where(b >= PAD2, 0, e)
-        rc = jnp.where(b1 > 0, C1, C0)
-        return e, rc
+    UNROLL = 4 * md  # one packed cell per body
 
     # ---- main 0-chain pass ------------------------------------------------
+    # bits arrive as raw 32-bit payload words; the in-word shift is a
+    # SCALAR (same for all lanes), so chunk extraction is two
+    # scalar-operand vector shifts + masks — Mosaic constant-folds the
+    # row index / shift once the fori unrolls
     def main_block(track_exit, store_scr):
+        n_cells = UNROLL // md // CELL  # == 1
+
         def body(i, carry):
             node, cnt, done, ex0 = carry
-            n_cells = UNROLL // md // CELL
             caccs = [jnp.zeros((R, 128), jnp.int32) for _ in range(n_cells)]
             naccs = [jnp.zeros((R, 128), jnp.int32) for _ in range(n_cells)]
             for cu in range(UNROLL // 2):
                 lj2 = i * (UNROLL // 2) + cu
                 jbit = s * SEG + 2 * lj2  # absolute bit of chunk start
-                b = bits_ref[lj2].astype(jnp.int32)
-                e, rc = chunk_entry(node, b)
-                emit, pos, sym32, nst = _e_fields(e, NS)
-                node = jnp.where(emit > 0, (1 - pos) * rc, nst)
+                wrow = bits_ref[jbit // 32]
+                sh = jbit % 32
+                b0 = (wrow >> sh) & 1
+                b1 = (wrow >> (sh + 1)) & 1
+                w = _quad_word(tab_ref, NS, R, node, b0)
+                e = (w >> (b1 << 4)) & 0xFFFF
+                e = jnp.where(lim > jbit, e, 0)
+                rc = jnp.where(b1 > 0, C1, C0) if NS > 1 else None
+                emit, pos, sym32, node = _e_step2(e, NS, rc)
                 if track_exit:
                     emit = emit * (1 - done)
+                    sym32 = jnp.where(emit > 0, sym32, 0)
                     exiting = emit * jnp.where(jbit + pos + 1 >= B, 1, 0)
                     ex0 = jnp.where(exiting > 0, jbit + pos + 1 - B, ex0)
                     done = done | exiting
@@ -624,22 +680,22 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
                 # packs into byte sl%CELL of cell sl//CELL
                 sl0 = (2 * cu) // md
                 sl1 = (2 * cu + 1) // md
+
+                def acc(sl, sym_v, em_v):
+                    sh8 = 8 * (sl % CELL)
+                    ci = sl // CELL
+                    sv = sym_v << sh8 if sh8 else sym_v
+                    nv = em_v << (sl % CELL) if sl % CELL else em_v
+                    caccs[ci] = caccs[ci] | sv
+                    naccs[ci] = naccs[ci] | nv
+
                 if sl0 == sl1:
-                    caccs[sl0 // CELL] = caccs[sl0 // CELL] | (
-                        jnp.where(emit > 0, sym32, 0) << (8 * (sl0 % CELL)))
-                    naccs[sl0 // CELL] = naccs[sl0 // CELL] | (
-                        emit << (sl0 % CELL))
+                    acc(sl0, sym32, emit)
                 else:
                     m0 = emit * (1 - pos)
                     m1 = emit * pos
-                    caccs[sl0 // CELL] = caccs[sl0 // CELL] | (
-                        jnp.where(m0 > 0, sym32, 0) << (8 * (sl0 % CELL)))
-                    naccs[sl0 // CELL] = naccs[sl0 // CELL] | (
-                        m0 << (sl0 % CELL))
-                    caccs[sl1 // CELL] = caccs[sl1 // CELL] | (
-                        jnp.where(m1 > 0, sym32, 0) << (8 * (sl1 % CELL)))
-                    naccs[sl1 // CELL] = naccs[sl1 // CELL] | (
-                        m1 << (sl1 % CELL))
+                    acc(sl0, jnp.where(m0 > 0, sym32, 0), m0)
+                    acc(sl1, jnp.where(m1 > 0, sym32, 0), m1)
             for t in range(n_cells):
                 sym_ref[i * n_cells + t] = caccs[t]
                 val_ref[i * n_cells + t] = naccs[t].astype(jnp.uint8)
@@ -683,10 +739,11 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
                 node, cnt, rec, cum = carry
                 lj2 = i
                 jbit = s * SEG + 2 * lj2
-                b = bits_ref[lj2].astype(jnp.int32)
-                b0 = (b & 1)[None]
-                b1 = ((b >> 1) & 1)[None]
-                pm = (b >= PAD2)[None]
+                wrow = bits_ref[jbit // 32]
+                sh = jbit % 32
+                b0 = ((wrow >> sh) & 1)[None]
+                b1 = ((wrow >> (sh + 1)) & 1)[None]
+                valid = (lim > jbit)[None]
                 v0m = v_scr[lj2][None]
                 cum0 = cum_scr[lj2][None]
                 n2 = node.reshape(CHg * R, 128)
@@ -694,15 +751,14 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
                 w = jnp.where(b0 > 0, w1.reshape(CHg, R, 128),
                               w0.reshape(CHg, R, 128))
                 e = (w >> (b1 << 4)) & 0xFFFF
-                e = jnp.where(pm, 0, e)
-                emit, pos, _sym, nst = _e_fields(e, NS)
+                e = jnp.where(valid, e, 0)
                 rc = jnp.where(b1 > 0, C1, C0)
-                node_full = jnp.where(emit > 0, (1 - pos) * rc, nst)
+                emit, pos, _sym, nst = _e_step2(e, NS, rc)
                 alive = 1 - (rec & 1)
                 started = jnp.where(jbit >= srow, 1, 0)
                 partial = jnp.where(srow == jbit + 1, 1, 0)
-                node = jnp.where(alive * started > 0, node_full, node)
-                node = jnp.where((alive * partial > 0) & ~pm,
+                node = jnp.where(alive * started > 0, nst, node)
+                node = jnp.where((alive * partial > 0) & valid,
                                  jnp.broadcast_to(rc, node.shape), node)
                 em = emit * alive * started
                 cnt = cnt + em
@@ -752,20 +808,24 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
 @functools.partial(jax.jit, static_argnames=(
     "B", "H", "G", "steps", "steps_p", "SEG", "UNROLL", "md", "RB",
     "C0", "C1", "NS", "discover", "interpret"))
-def k1_scan2(bits2, tabq, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL,
+def k1_scan2(wmat, tabq, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL,
              md, C0, C1, NS=1, RB=0, discover=True, interpret=False):
+    """Chunked K1 over the halo'd word matrix ``wmat`` (steps_p//32, R,
+    128) int32 (see words_matrix_device)."""
+    UNROLL0 = UNROLL
+    del UNROLL
     R = G // 128
     RB = min(RB or R, R)
     RG = R // RB
     S = steps_p // SEG
     CH = max(H - 1, 1)
     HP = -(-(CH + 1) // 8) * 8
-    if (UNROLL // md) % CELL or (SEG // md) % CELL:
+    if (UNROLL0 // md) % CELL or (SEG // md) % CELL:
         raise ValueError("UNROLL/md must cover whole cells (see _plan)")
     cells_seg = SEG // md // CELL
     cells_p = steps_p // md // CELL
     kern = functools.partial(
-        _k1_kernel2, B=B, H=H, steps=steps, SEG=SEG, UNROLL=UNROLL,
+        _k1_kernel2, B=B, H=H, steps=steps, SEG=SEG,
         md=md, CH=CH, HP=HP, RB=RB, C0=C0, C1=C1, NS=NS, discover=discover)
     return pl.pallas_call(
         kern,
@@ -775,7 +835,8 @@ def k1_scan2(bits2, tabq, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((RB, 128), lambda rg, s: (rg, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SEG // 2, RB, 128), lambda rg, s: (s, rg, 0),
+            pl.BlockSpec((wmat.shape[0], RB, 128),
+                         lambda rg, s: (0, rg, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -810,7 +871,7 @@ def k1_scan2(bits2, tabq, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL,
             pltpu.VMEM((SEG // 2, RB, 128), jnp.int32),  # cum_scr
         ],
         interpret=interpret,
-    )(tabq, lim2, bits2)
+    )(tabq, lim2, wmat)
 
 
 # ---------------------------------------------------------------------------
@@ -884,7 +945,7 @@ def k2_compose(ex3, start, *, Rg, NG, interpret=False):
 
 def _k3_kernel(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
                symin_ref, valin_ref, sym_ref, val_ref, nodeF,
-               *, G, SEG, UNROLL, md, RB, NS=1):
+               *, G, SEG, md, RB, NS=1):
     """Adaptive fix + splice scan: full-length grid, but a segment only
     *re-decodes* while some lane's splice window (cut) extends into it —
     merge rows are usually small, yet phase-locked runs of one short code
@@ -902,6 +963,7 @@ def _k3_kernel(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
     R = RB
     s = pl.program_id(1)
     slots_seg = SEG // md
+    cells_seg = slots_seg // CELL
 
     @pl.when(s == 0)
     def _init():
@@ -910,11 +972,12 @@ def _k3_kernel(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
     ent = ent_ref[...]
     gated = jnp.max(cut_ref[...]) > s * SEG
 
+    UNROLL = 8 if md == 1 else 4 * md
+
     @pl.when(gated)
     def _run():
         cutsl = cutsl_ref[...]
         n_cells = UNROLL // md // CELL
-        cells_seg = SEG // md // CELL
 
         def body(i, node):
             for tc in range(n_cells):
@@ -924,18 +987,19 @@ def _k3_kernel(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
                     for u in range(md):
                         lj = i * UNROLL + (tc * CELL + cs) * md + u
                         j = s * SEG + lj
-                        b = bits_ref[lj].astype(jnp.int32)
+                        wrow = bits_ref[j // 32]
+                        b = (wrow >> (j % 32)) & 1
                         w = _pair_word(tab_ref, NS, R, node)
-                        e = (w >> ((b & 1) << 4)) & 0xFFFF
-                        e = jnp.where(b >= PAD_BIT, 0, e)
-                        emitf, sym32, nst = _e1_fields(e, NS)
-                        alive = j >= ent
-                        node = jnp.where(alive, nst, node)
-                        emit1 = jnp.where(alive, emitf, 0)
-                        cacc = cacc | (jnp.where(alive, sym32, 0)
-                                       << (8 * cs))
-                        nacc = nacc | (emit1 << cs)
-                cl = i * n_cells + tc
+                        e = (w >> (b << 4)) & 0xFFFF
+                        # no stream-limit mask: slots at/above each
+                        # lane's cut are splice-masked below, so garbage
+                        # decoded past the lane end never reaches the
+                        # output
+                        e = jnp.where(j >= ent, e, 0)
+                        emitf, sym32, node = _e1_fields(e, NS)
+                        cacc = cacc | (sym32 << (8 * cs))
+                        nacc = nacc | (emitf << cs)
+                cl = (i * UNROLL // md) // CELL + tc
                 # splice at slot granularity *within* the boundary cell:
                 # the first k slots of the cell (those below the lane's
                 # cut) take the fix scan's bytes, the rest keep the main
@@ -961,8 +1025,9 @@ def _k3_kernel(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "G", "steps_p", "SEG", "UNROLL", "md", "RB", "interpret"))
-def k3_fix(bits3, tabw, ent2, cut2, cutsl2, sym, val, *, G, steps_p, SEG,
+def k3_fix(wmat, tabw, ent2, cut2, cutsl2, sym, val, *, G, steps_p, SEG,
            UNROLL, md, RB=0, interpret=False):
+    del UNROLL
     R = G // 128
     RB = min(RB or R, R)
     RG = R // RB
@@ -970,7 +1035,7 @@ def k3_fix(bits3, tabw, ent2, cut2, cutsl2, sym, val, *, G, steps_p, SEG,
     cells_seg = SEG // md // CELL
     cells_p = steps_p // md // CELL
     NS = tabw.shape[0]  # static under jit; > 1 selects the wide layout
-    kern = functools.partial(_k3_kernel, G=G, SEG=SEG, UNROLL=UNROLL, md=md,
+    kern = functools.partial(_k3_kernel, G=G, SEG=SEG, md=md,
                              RB=RB, NS=NS)
     cell_spec = pl.BlockSpec((cells_seg, RB, 128), lambda rg, s: (s, rg, 0),
                              memory_space=pltpu.VMEM)
@@ -985,7 +1050,8 @@ def k3_fix(bits3, tabw, ent2, cut2, cutsl2, sym, val, *, G, steps_p, SEG,
             lane_spec,
             lane_spec,
             lane_spec,
-            pl.BlockSpec((SEG, RB, 128), lambda rg, s: (s, rg, 0),
+            pl.BlockSpec((wmat.shape[0], RB, 128),
+                         lambda rg, s: (0, rg, 0),
                          memory_space=pltpu.VMEM),
             cell_spec,
             cell_spec,
@@ -998,12 +1064,12 @@ def k3_fix(bits3, tabw, ent2, cut2, cutsl2, sym, val, *, G, steps_p, SEG,
         scratch_shapes=[pltpu.VMEM((RB, 128), jnp.int32)],
         input_output_aliases={5: 0, 6: 1},
         interpret=interpret,
-    )(tabw, ent2, cut2, cutsl2, bits3, sym, val)
+    )(tabw, ent2, cut2, cutsl2, wmat, sym, val)
 
 
 def _k3_kernel2(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
                 symin_ref, valin_ref, sym_ref, val_ref, nodeF,
-                *, G, SEG, UNROLL, md, C0, C1, NS, RB):
+                *, G, SEG, md, C0, C1, NS, RB):
     """Chunked twin of _k3_kernel (fix + splice; see there).  A lane
     whose entry bit is odd activates mid-chunk: that chunk consumes only
     its second bit, i.e. a root step to C0/C1 with no emission possible
@@ -1011,6 +1077,7 @@ def _k3_kernel2(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
     R = RB  # grid = (row-groups, segments); per-row-group replay gate
     s = pl.program_id(1)
     slots_seg = SEG // md
+    cells_seg = slots_seg // CELL
 
     @pl.when(s == 0)
     def _init():
@@ -1019,11 +1086,12 @@ def _k3_kernel2(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
     ent = ent_ref[...]
     gated = jnp.max(cut_ref[...]) > s * SEG
 
+    UNROLL = 4 * md
+
     @pl.when(gated)
     def _run():
         cutsl = cutsl_ref[...]
-        n_cells = UNROLL // md // CELL
-        cells_seg = SEG // md // CELL
+        n_cells = UNROLL // md // CELL  # == 1
 
         def body(i, node):
             caccs = [jnp.zeros((R, 128), jnp.int32) for _ in range(n_cells)]
@@ -1031,38 +1099,38 @@ def _k3_kernel2(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
             for cu in range(UNROLL // 2):
                 lj2 = i * (UNROLL // 2) + cu
                 jbit = s * SEG + 2 * lj2
-                b = bits_ref[lj2].astype(jnp.int32)
-                b0 = b & 1
-                b1 = (b >> 1) & 1
+                wrow = bits_ref[jbit // 32]
+                sh = jbit % 32
+                b0 = (wrow >> sh) & 1
+                b1 = (wrow >> (sh + 1)) & 1
                 w = _quad_word(tab_ref, NS, R, node, b0)
                 e = (w >> (b1 << 4)) & 0xFFFF
-                e = jnp.where(b >= PAD2, 0, e)
-                emit, pos, sym32, nst = _e_fields(e, NS)
-                rc = jnp.where(b1 > 0, C1, C0)
-                node_full = jnp.where(emit > 0, (1 - pos) * rc, nst)
                 started = jbit >= ent
+                # no stream-limit mask (cf. _k3_kernel): splice-masked
+                e = jnp.where(started, e, 0)
+                rc = jnp.where(b1 > 0, C1, C0)
+                emit, pos, sym32, node_full = _e_step2(e, NS, rc)
                 partial = ent == jbit + 1
                 node = jnp.where(started, node_full, node)
-                node = jnp.where(partial & (b < PAD2), rc, node)
-                em = emit * started.astype(jnp.int32)
+                node = jnp.where(partial, rc, node)
                 sl0 = (2 * cu) // md
                 sl1 = (2 * cu + 1) // md
+
+                def acc(sl, sym_v, em_v):
+                    sh8 = 8 * (sl % CELL)
+                    ci = sl // CELL
+                    sv = sym_v << sh8 if sh8 else sym_v
+                    nv = em_v << (sl % CELL) if sl % CELL else em_v
+                    caccs[ci] = caccs[ci] | sv
+                    naccs[ci] = naccs[ci] | nv
+
                 if sl0 == sl1:
-                    caccs[sl0 // CELL] = caccs[sl0 // CELL] | (
-                        jnp.where(em > 0, sym32, 0) << (8 * (sl0 % CELL)))
-                    naccs[sl0 // CELL] = naccs[sl0 // CELL] | (
-                        em << (sl0 % CELL))
+                    acc(sl0, sym32, emit)
                 else:
-                    m0 = em * (1 - pos)
-                    m1 = em * pos
-                    caccs[sl0 // CELL] = caccs[sl0 // CELL] | (
-                        jnp.where(m0 > 0, sym32, 0) << (8 * (sl0 % CELL)))
-                    naccs[sl0 // CELL] = naccs[sl0 // CELL] | (
-                        m0 << (sl0 % CELL))
-                    caccs[sl1 // CELL] = caccs[sl1 // CELL] | (
-                        jnp.where(m1 > 0, sym32, 0) << (8 * (sl1 % CELL)))
-                    naccs[sl1 // CELL] = naccs[sl1 // CELL] | (
-                        m1 << (sl1 % CELL))
+                    m0 = emit * (1 - pos)
+                    m1 = emit * pos
+                    acc(sl0, jnp.where(m0 > 0, sym32, 0), m0)
+                    acc(sl1, jnp.where(m1 > 0, sym32, 0), m1)
             for t in range(n_cells):
                 cl = i * n_cells + t
                 # masked boundary-cell splice (see _k3_kernel)
@@ -1088,15 +1156,16 @@ def _k3_kernel2(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
 @functools.partial(jax.jit, static_argnames=(
     "G", "steps_p", "SEG", "UNROLL", "md", "C0", "C1", "NS", "RB",
     "interpret"))
-def k3_fix2(bits2, tabq, ent2, cut2, cutsl2, sym, val, *, G, steps_p, SEG,
+def k3_fix2(wmat, tabq, ent2, cut2, cutsl2, sym, val, *, G, steps_p, SEG,
             UNROLL, md, C0, C1, NS=1, RB=0, interpret=False):
+    del UNROLL
     R = G // 128
     RB = min(RB or R, R)
     RG = R // RB
     S = steps_p // SEG
     cells_seg = SEG // md // CELL
     cells_p = steps_p // md // CELL
-    kern = functools.partial(_k3_kernel2, G=G, SEG=SEG, UNROLL=UNROLL,
+    kern = functools.partial(_k3_kernel2, G=G, SEG=SEG,
                              md=md, C0=C0, C1=C1, NS=NS, RB=RB)
     cell_spec = pl.BlockSpec((cells_seg, RB, 128), lambda rg, s: (s, rg, 0),
                              memory_space=pltpu.VMEM)
@@ -1111,7 +1180,8 @@ def k3_fix2(bits2, tabq, ent2, cut2, cutsl2, sym, val, *, G, steps_p, SEG,
             lane_spec,
             lane_spec,
             lane_spec,
-            pl.BlockSpec((SEG // 2, RB, 128), lambda rg, s: (s, rg, 0),
+            pl.BlockSpec((wmat.shape[0], RB, 128),
+                         lambda rg, s: (0, rg, 0),
                          memory_space=pltpu.VMEM),
             cell_spec,
             cell_spec,
@@ -1124,7 +1194,7 @@ def k3_fix2(bits2, tabq, ent2, cut2, cutsl2, sym, val, *, G, steps_p, SEG,
         scratch_shapes=[pltpu.VMEM((RB, 128), jnp.int32)],
         input_output_aliases={5: 0, 6: 1},
         interpret=interpret,
-    )(tabq, ent2, cut2, cutsl2, bits2, sym, val)
+    )(tabq, ent2, cut2, cutsl2, wmat, sym, val)
 
 
 # ---------------------------------------------------------------------------
@@ -1295,27 +1365,31 @@ def _select_h(maps, idx, H):
 @functools.partial(jax.jit, static_argnames=(
     "B", "H", "G", "steps", "steps_p", "SEG", "UNROLL", "md", "Rg", "NG",
     "ORP", "RB", "C0", "C1", "NS", "chunk2", "interpret"))
-def wide_decode_program(bits3, tabw, lim2, *, B, H, G, steps, steps_p, SEG,
+def wide_decode_program(w2, tabw, lim2, *, B, H, G, steps, steps_p, SEG,
                         UNROLL, md, Rg, NG, ORP, RB=0, C0=0, C1=0, NS=1,
                         chunk2=False, interpret=False):
-    """Full fused decode.  Returns (denseT (G, ORP) u8, n (G,) i32,
-    total i32, fence i32).
+    """Full fused decode from lane payload words ``w2`` (G, B//32) int32
+    (see payload_lane_words).  Returns (denseT (G, ORP) u8, n (G,) i32,
+    total i32, fence i32).  The halo'd word matrix is built on device
+    (words_matrix_device) as the program's first op, so the timed unit
+    covers staging -> dense bytes.
 
-    ``chunk2``: bits3 is a bits2_matrix of 2-bit chunks and tabw the
-    pack_quad_tables word pair — every scan steps two bits at a time
-    (k-bit chunking, jumptableapproach.c:173-258 role).  ``NS``: number
-    of 128-state table chunks (trees beyond 127 internal states use the
-    wide entry layout; see pack_quad_tables)."""
+    ``chunk2``: every scan steps two bits at a time off the word rows
+    and tabw is the pack_quad_tables word pair (k-bit chunking,
+    jumptableapproach.c:173-258 role).  ``NS``: number of 128-state
+    table chunks (trees beyond 127 internal states use the wide entry
+    layout; see pack_quad_tables)."""
     R = G // 128
     cells_p = steps_p // md // CELL
+    wmat = words_matrix_device(w2, -(-steps_p // 32))
     if chunk2:
         sym, val, cntmap, exmap, mrowmap = k1_scan2(
-            bits3, tabw, lim2, B=B, H=H, G=G, steps=steps, steps_p=steps_p,
+            wmat, tabw, lim2, B=B, H=H, G=G, steps=steps, steps_p=steps_p,
             SEG=SEG, UNROLL=UNROLL, md=md, C0=C0, C1=C1, NS=NS, RB=RB,
             interpret=interpret)
     else:
         sym, val, cntmap, exmap, mrowmap = k1_scan(
-            bits3, tabw, lim2, B=B, H=H, G=G, steps=steps, steps_p=steps_p,
+            wmat, tabw, lim2, B=B, H=H, G=G, steps=steps, steps_p=steps_p,
             SEG=SEG, UNROLL=UNROLL, md=md, RB=RB, interpret=interpret)
 
     HP = cntmap.shape[0]
@@ -1330,8 +1404,7 @@ def wide_decode_program(bits3, tabw, lim2, *, B, H, G, steps, steps_p, SEG,
 
     cnt2 = cntmap.reshape(HP, G)
     n = _select_h(cnt2, entry, H)
-    base = jnp.cumsum(n) - n
-    total = base[-1] + n[-1]
+    total = jnp.sum(n)
 
     mrow_sel = _select_h(mrowmap.reshape(HP, G), entry, H)
     # cut = first row owned by the 0-chain: 0 for entry-0 lanes, merge
@@ -1346,13 +1419,13 @@ def wide_decode_program(bits3, tabw, lim2, *, B, H, G, steps, steps_p, SEG,
     # outputs); K4 folds the lane transpose and slot padding into the
     # compaction kernel — no XLA pass ever touches the big slot arrays
     if chunk2:
-        msym, mval = k3_fix2(bits3, tabw, entry.reshape(R, 128),
+        msym, mval = k3_fix2(wmat, tabw, entry.reshape(R, 128),
                              cut.reshape(R, 128), cut_slot.reshape(R, 128),
                              sym, val, G=G, steps_p=steps_p, SEG=SEG,
                              UNROLL=UNROLL, md=md, C0=C0, C1=C1, NS=NS,
                              RB=RB, interpret=interpret)
     else:
-        msym, mval = k3_fix(bits3, tabw, entry.reshape(R, 128),
+        msym, mval = k3_fix(wmat, tabw, entry.reshape(R, 128),
                             cut.reshape(R, 128), cut_slot.reshape(R, 128),
                             sym, val, G=G, steps_p=steps_p, SEG=SEG,
                             UNROLL=UNROLL, md=md, RB=RB, interpret=interpret)
@@ -1378,8 +1451,9 @@ def _plan(bits: int, H: int, md: int, lanes=None, avg_len=None):
     # UNROLL/md = 4 slots = exactly one CELL per unrolled body (8 = two
     # cells for md=1), so every kernel body packs whole 4-slot cells; md
     # is capped at 8 structurally (a byte alphabet with all codes > 8
-    # bits would need > 256 leaves), so UNROLL <= 32.  4*md is also even,
-    # keeping the 2-bit chunked kernels eligible for every md >= 2.
+    # bits would need > 256 leaves), so UNROLL <= 32.  The whole word
+    # matrix rides in VMEM per row group, so SEG need not align to
+    # 32-bit words (in-word shifts are traced scalars).
     UNROLL = 8 if md == 1 else 4 * md
     SEG = UNROLL * max(1, 32 // UNROLL)
     if lanes is None:
@@ -1412,7 +1486,7 @@ def _plan(bits: int, H: int, md: int, lanes=None, avg_len=None):
         # (RB | R) and K4's 8-row tiling always divide evenly.
         G = max(512, 1 << (max(int(lanes), 1) - 1).bit_length())
     B = -(-bits // G)
-    B = -(-B // SEG) * SEG
+    B = -(-B // 32) * 32  # whole payload words per lane
     steps = B + H
     steps_p = -(-steps // SEG) * SEG
     # composition group split: G = NG groups x Rg lanes, both ~sqrt(G)
@@ -1437,8 +1511,6 @@ def _plan(bits: int, H: int, md: int, lanes=None, avg_len=None):
                 UNROLL=UNROLL, NG=NG, Rg=Rg, ORP=ORP, RB=RB)
 
 
-
-
 class EnvelopeError(ValueError):
     """The tree/geometry is outside the widescan program's envelope
     (>1023 internal states or a tiny stream); callers fall back to
@@ -1449,7 +1521,9 @@ def stage_widescan_inputs(hf, lanes=None):
     """Build everything the fused program needs, once, host-side.
 
     Returns a dict with the plan, chunk2 eligibility, packed tables
-    (device arrays), the bit matrix and per-lane limits.  Raises
+    (device arrays), the per-lane payload words and limits.  The only
+    host-side staging is the padded word copy (payload_lane_words); the
+    kernels' word matrix is built on device inside the program.  Raises
     EnvelopeError for trees the program cannot handle — the single
     place the eligibility rules live (decode_widescan, bench.py and the
     sharded runner all call this)."""
@@ -1466,13 +1540,12 @@ def stage_widescan_inputs(hf, lanes=None):
     avg = hf.bits / max(hf.uncompressed_size, 1)
     p = _plan(hf.bits, H, md, lanes=lanes, avg_len=avg)
     G = p["G"]
-    chunk2 = md >= 2 and p["UNROLL"] % 2 == 0 and p["SEG"] % 2 == 0
+    chunk2 = md >= 2
     C0 = C1 = 0
     NS = 1
     if chunk2:
         tabq, C0, C1, NS = pack_quad_tables(dfa)
         tabw = jnp.asarray(tabq)
-        mat = bits2_matrix(hf.payload, hf.bits, G, p["B"], p["steps_p"])
     else:
         # md=1 trees of any depth <= MAX_STATES_WIDE stay on the fused
         # path: pack_pair_table switches to the wide entry layout and
@@ -1480,21 +1553,24 @@ def stage_widescan_inputs(hf, lanes=None):
         tabp = pack_pair_table(dfa)
         NS = tabp.shape[0]
         tabw = jnp.asarray(tabp)
-        mat = bits3_matrix(hf.payload, hf.bits, G, p["B"], p["steps_p"])
+    w2 = payload_lane_words(hf.payload, hf.bits, G, p["B"])
     lane = np.arange(G, dtype=np.int64).reshape(G // 128, 128)
     lim2 = jnp.asarray(
         np.clip(hf.bits - lane * p["B"], -(1 << 30), 1 << 30).astype(np.int32))
     return dict(plan=p, dfa=dfa, H=H, md=md, chunk2=chunk2, C0=C0, C1=C1,
-                NS=NS, tabw=tabw, bits=jnp.asarray(mat), lim2=lim2)
+                NS=NS, tabw=tabw, words=jnp.asarray(w2), lim2=lim2)
 
 
 def decode_widescan(hf, lanes=None, check_size=True, interpret=False):
     """Wide-lane fused decode of a HuffFile to dense bytes.
 
-    Falls back to the round-1 Pallas path for tiny streams, trees beyond
-    the wide quad-table limit (1023 internal states; full byte alphabets
-    at 255 states stay on the fast path via chunked tables), or a lane
-    overflowing the dense output buffer."""
+    Small streams whose whole working set fits VMEM route to the
+    single-dispatch one-shot kernel (ops/pallas_oneshot.py — small
+    corpora are dispatch-bound, round 4).  Falls back to the round-1
+    Pallas path for tiny streams, trees beyond the wide quad-table limit
+    (1023 internal states; full byte alphabets at 255 states stay on the
+    fast path via chunked tables), or a lane overflowing the dense
+    output buffer."""
     def _fallback():
         from huffmandecoderongpus_tpu.ops.pallas_lanedfa import (
             decode_lanedfa_pallas,
@@ -1507,12 +1583,21 @@ def decode_widescan(hf, lanes=None, check_size=True, interpret=False):
         st = stage_widescan_inputs(hf, lanes=lanes)
     except EnvelopeError:
         return _fallback()
+
+    from huffmandecoderongpus_tpu.ops import pallas_oneshot as oneshot
+
+    if oneshot.oneshot_eligible(st):
+        try:
+            return oneshot.decode_oneshot_staged(
+                hf, st, check_size=check_size, interpret=interpret)
+        except EnvelopeError:
+            pass  # lane overflow etc. -> 4-kernel program below
     p = st["plan"]
     G = p["G"]
     H, md = st["H"], st["md"]
 
     denseT, n, total, _fence = wide_decode_program(
-        st["bits"], st["tabw"], st["lim2"], B=p["B"], H=H, G=G,
+        st["words"], st["tabw"], st["lim2"], B=p["B"], H=H, G=G,
         steps=p["steps"], steps_p=p["steps_p"], SEG=p["SEG"],
         UNROLL=p["UNROLL"], md=md, Rg=p["Rg"], NG=p["NG"], ORP=p["ORP"],
         RB=p["RB"], C0=st["C0"], C1=st["C1"], NS=st["NS"],
@@ -1536,40 +1621,45 @@ def decode_widescan(hf, lanes=None, check_size=True, interpret=False):
 # ---------------------------------------------------------------------------
 # Indexed decode: `.huffidx` sidecar defines the lanes
 
-def bits2_matrix_indexed(payload: np.ndarray, bits: int, offsets: np.ndarray,
-                         lens: np.ndarray, G: int, steps_p: int):
-    """(steps_p//2, R, 128) uint8 2-bit chunks for *index-defined* lanes:
-    lane g covers stream bits [offsets[g], offsets[g]+lens[g]); chunks
-    past a lane's length hold PAD2.
 
-    One chunk-level gather from two parity-phased packed streams (lane
-    offsets have arbitrary parity) instead of a bit-level matrix — 4x
-    less host staging work.  A lane of odd length keeps the *stream's*
-    next bit as its final chunk's second bit: harmless, because blocks
-    end at symbol boundaries, so that chunk's first bit completes a
-    codeword and emitting composite entries ignore the second bit
-    (pack_quad_tables encodes at most one emission per chunk)."""
-    from huffmandecoderongpus_tpu.huffio.bitio import unpack_bits
+def indexed_lane_words(payload: np.ndarray, bits: int, offsets: np.ndarray,
+                       BW: int):
+    """(G-padded) (nb, BW+1) int32 raw word rows for *index-defined*
+    lanes: row g holds the payload words from word offsets[g]//32 on;
+    the in-word bit shifts offsets[g]%32 come back separately and are
+    applied ON DEVICE (normalize_lane_words) — so the host staging is a
+    word-level row gather, 16x less work than the round-3 per-chunk
+    gather (and 32x less than a per-bit unpack)."""
+    nw = (bits + 31) // 32
+    fw = np.zeros((nw + BW + 2) * 4, dtype=np.uint8)
+    nb_payload = min(int(payload.size), nw * 4)
+    fw[:nb_payload] = payload[:nb_payload]
+    full, rem = divmod(bits, 8)
+    if full < nb_payload:
+        if rem:
+            fw[full] &= (1 << rem) - 1
+            fw[full + 1:nb_payload] = 0
+        else:
+            fw[full:nb_payload] = 0
+    words = fw.view("<u4").view(np.int32)
+    base = (offsets >> 5).astype(np.int64)
+    raw = words[base[:, None] + np.arange(BW + 1, dtype=np.int64)[None, :]]
+    return np.ascontiguousarray(raw), (offsets & 31).astype(np.int32)
 
-    R = G // 128
-    nb = offsets.shape[0]
-    half = steps_p // 2
-    n_ext = bits + 2 * steps_p + 4
-    n_ext += n_ext & 1  # even length: the strided halves line up
-    ext = np.zeros(n_ext + 1, dtype=np.uint8)
-    ext[:bits] = unpack_bits(payload, bits)
-    even = (ext[0:n_ext:2] | (ext[1:n_ext:2] << 1)).astype(np.uint8)
-    odd = (ext[1:n_ext:2] | (ext[2:n_ext + 1:2] << 1)).astype(np.uint8)
-    flat = np.concatenate([even, odd])
-    offs = np.zeros(G, dtype=np.int64)
-    offs[:nb] = offsets
-    l = np.zeros(G, dtype=np.int64)
-    l[:nb] = lens
-    base = (offs >> 1) + (offs & 1) * even.shape[0]
-    mat = flat[base[None, :] + np.arange(half, dtype=np.int64)[:, None]]
-    # chunk row j covers lane bits 2j, 2j+1: pad once 2j is past the lane
-    mat[2 * np.arange(half)[:, None] >= l[None, :]] = PAD2
-    return np.ascontiguousarray(mat).reshape(half, R, 128)
+
+def normalize_lane_words(raw: jnp.ndarray, sh: jnp.ndarray) -> jnp.ndarray:
+    """Device-side per-lane bit alignment: raw (G, BW+1) word rows and
+    in-word shifts sh (G,) -> (G, BW) words whose bit 0 is each lane's
+    first stream bit.  One XLA elementwise pass (logical shifts on the
+    uint32 bit pattern), replacing the round-3 host-side parity-phased
+    chunk gather."""
+    u = jax.lax.bitcast_convert_type(raw, jnp.uint32)
+    shu = sh.astype(jnp.uint32)[:, None]
+    shl = ((32 - sh) & 31).astype(jnp.uint32)[:, None]
+    lo = jax.lax.shift_right_logical(u[:, :-1], shu)
+    hi = jnp.where(sh[:, None] == 0, jnp.uint32(0),
+                   jax.lax.shift_left(u[:, 1:], shl))
+    return jax.lax.bitcast_convert_type(lo | hi, jnp.int32)
 
 
 def stage_widescan_indexed(hf, offsets: np.ndarray, block_symbols: int):
@@ -1602,9 +1692,10 @@ def stage_widescan_indexed(hf, offsets: np.ndarray, block_symbols: int):
     if np.any(lens < 0) or offsets[0] != 0:
         raise ValueError("corrupt block index: offsets not increasing from 0")
     UNROLL = 4 * md
-    SEG = UNROLL * max(1, 32 // UNROLL)
+    SEG = math.lcm(CELL * md, 32)
     B = int(lens.max(initial=1))
     steps_p = -(-B // SEG) * SEG
+    BW = -(-steps_p // 32)
     # 1024-lane floor: K4's 8-row tiling (RT=8) and the Mosaic gather
     # row minimums want R a multiple of 8; excess lanes are all-PAD
     G = max(1024, -(-nb // 1024) * 1024)
@@ -1612,6 +1703,8 @@ def stage_widescan_indexed(hf, offsets: np.ndarray, block_symbols: int):
     # K1's row-group blocking requires RB | R (G is not a power of two
     # here, so 32 need not divide R)
     RB = 32 if R % 32 == 0 else (16 if R % 16 == 0 else 8)
+    if SEG > 96:
+        RB = min(RB, 16)
     n = np.zeros(G, dtype=np.int32)
     n[:nb] = block_symbols
     n[nb - 1] = hf.uncompressed_size - (nb - 1) * block_symbols
@@ -1619,28 +1712,33 @@ def stage_widescan_indexed(hf, offsets: np.ndarray, block_symbols: int):
         raise ValueError("block index inconsistent with the header")
     ORP = -(-block_symbols // 128) * 128
     tabq, C0, C1, NS = pack_quad_tables(dfa)
-    mat = bits2_matrix_indexed(hf.payload, hf.bits, offsets, lens, G,
-                               steps_p)
+    offs_p = np.zeros(G, dtype=np.int64)
+    offs_p[:nb] = offsets
+    raw, sh = indexed_lane_words(hf.payload, hf.bits, offs_p, BW)
     lim2 = np.zeros((R, 128), dtype=np.int32)
     lim2.reshape(-1)[:nb] = lens.astype(np.int32)
     return dict(plan=dict(B=steps_p, steps=steps_p, steps_p=steps_p,
                           SEG=SEG, UNROLL=UNROLL, G=G, RB=RB, ORP=ORP),
                 H=H, md=md, C0=C0, C1=C1, NS=NS, tabw=jnp.asarray(tabq),
-                bits=jnp.asarray(mat), lim2=jnp.asarray(lim2),
-                counts=n, nb=nb)
+                raw=jnp.asarray(raw), sh=jnp.asarray(sh),
+                lim2=jnp.asarray(lim2), counts=n, nb=nb)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "B", "H", "G", "steps_p", "SEG", "UNROLL", "md", "RB", "ORP",
     "C0", "C1", "NS", "interpret"))
-def wide_decode_indexed_program(bits2, tabq, lim2, *, B, H, G, steps_p, SEG,
-                                UNROLL, md, RB, ORP, C0, C1, NS,
+def wide_decode_indexed_program(raw, sh, tabq, lim2, *, B, H, G, steps_p,
+                                SEG, UNROLL, md, RB, ORP, C0, C1, NS,
                                 interpret=False):
-    """Indexed fused decode: K1 main scan only (``discover=False`` skips
-    the candidate machinery entirely) straight into K4 compaction.
-    Returns (denseT (G, ORP) u8, fence)."""
+    """Indexed fused decode: device-side word alignment + transpose, K1
+    main scan only (``discover=False`` skips the candidate machinery
+    entirely), straight into K4 compaction.  Returns (denseT (G, ORP)
+    u8, fence)."""
+    R = G // 128
+    w2 = normalize_lane_words(raw, sh)
+    wmat = w2.T.reshape(-(-steps_p // 32), R, 128)
     sym, val, *_ = k1_scan2(
-        bits2, tabq, lim2, B=B, H=H, G=G, steps=steps_p, steps_p=steps_p,
+        wmat, tabq, lim2, B=B, H=H, G=G, steps=steps_p, steps_p=steps_p,
         SEG=SEG, UNROLL=UNROLL, md=md, C0=C0, C1=C1, NS=NS, RB=RB,
         discover=False, interpret=interpret)
     cells_p = steps_p // md // CELL
@@ -1663,10 +1761,10 @@ def decode_widescan_indexed(hf, offsets, block_symbols: int,
     if block_symbols > p["ORP"]:
         raise EnvelopeError("index blocks overflow the dense buffer")
     denseT, _fence = wide_decode_indexed_program(
-        st["bits"], st["tabw"], st["lim2"], B=p["B"], H=st["H"], G=p["G"],
-        steps_p=p["steps_p"], SEG=p["SEG"], UNROLL=p["UNROLL"], md=st["md"],
-        RB=p["RB"], ORP=p["ORP"], C0=st["C0"], C1=st["C1"], NS=st["NS"],
-        interpret=interpret)
+        st["raw"], st["sh"], st["tabw"], st["lim2"], B=p["B"], H=st["H"],
+        G=p["G"], steps_p=p["steps_p"], SEG=p["SEG"], UNROLL=p["UNROLL"],
+        md=st["md"], RB=p["RB"], ORP=p["ORP"], C0=st["C0"], C1=st["C1"],
+        NS=st["NS"], interpret=interpret)
     dense = np.asarray(denseT)
     counts = st["counts"]
     mask = np.arange(p["ORP"])[None, :] < counts[:, None]

@@ -271,14 +271,14 @@ def decode_lane_sharded(hf, mesh: Mesh | None = None,
 # so the multi-chip path produces dense bytes per shard.
 
 
-def _wide_shard_body(bits2_loc, tabq, lim_loc, *, plan, H, md, C0, C1, NS,
+def _wide_shard_body(wmat_loc, tabq, lim_loc, *, plan, H, md, C0, C1, NS,
                      Gl, D, axis, NGl, Rgl, interpret):
     from huffmandecoderongpus_tpu.ops import pallas_widescan as ws
 
     p = plan
     Rl = Gl // 128
     sym, val, cntmap, exmap, mrowmap = ws.k1_scan2(
-        bits2_loc, tabq, lim_loc, B=p["B"], H=H, G=Gl, steps=p["steps"],
+        wmat_loc, tabq, lim_loc, B=p["B"], H=H, G=Gl, steps=p["steps"],
         steps_p=p["steps_p"], SEG=p["SEG"], UNROLL=p["UNROLL"], md=md,
         C0=C0, C1=C1, NS=NS, RB=min(p["RB"], Rl), interpret=interpret)
     HP = cntmap.shape[0]
@@ -321,7 +321,7 @@ def _wide_shard_body(bits2_loc, tabq, lim_loc, *, plan, H, md, C0, C1, NS,
     cut_slot = jnp.where(cut > 0, (cut - 1) // md + 1, 0)
 
     msym, mval = ws.k3_fix2(
-        bits2_loc, tabq, entry.reshape(Rl, 128), cut.reshape(Rl, 128),
+        wmat_loc, tabq, entry.reshape(Rl, 128), cut.reshape(Rl, 128),
         cut_slot.reshape(Rl, 128), sym, val, G=Gl, steps_p=p["steps_p"],
         SEG=p["SEG"], UNROLL=p["UNROLL"], md=md, C0=C0, C1=C1, NS=NS,
         RB=min(p["RB"], Rl), interpret=interpret)
@@ -354,7 +354,20 @@ def _compiled_wide(mesh: Mesh, axis: str, plan_items, H: int, md: int,
         in_specs=(P(None, axis, None), P(), P(axis, None)),
         out_specs=(P(axis, None), P(axis), P(axis), P(axis)),
         check_vma=check_vma)
-    return jax.jit(mapped)
+
+    def staged(w2, tabq, lim2):
+        # device-side staging (round 4): the halo'd word matrix is built
+        # by XLA from the lane payload words INSIDE the jitted program —
+        # GSPMD shards the transpose along the lane axis and inserts the
+        # one-lane halo exchange between neighboring shards itself, so
+        # per-shard staging is device-side (the precondition for
+        # load-balanced multi-chip decode; VERDICT round-3 item 8)
+        from huffmandecoderongpus_tpu.ops import pallas_widescan as ws
+
+        wmat = ws.words_matrix_device(w2, -(-plan["steps_p"] // 32))
+        return mapped(wmat, tabq, lim2)
+
+    return jax.jit(staged)
 
 
 def lane_sharded_wide_runner(hf, mesh: Mesh | None = None,
@@ -396,11 +409,11 @@ def lane_sharded_wide_runner(hf, mesh: Mesh | None = None,
     fn = _compiled_wide(mesh, BLOCK_AXIS, tuple(sorted(p.items())),
                         st["H"], st["md"], st["C0"], st["C1"], st["NS"],
                         Gl, D, interpret, CHECK_VMA_PALLAS)
-    b2, tq, l2 = st["bits"], st["tabw"], st["lim2"]
+    w2, tq, l2 = st["words"], st["tabw"], st["lim2"]
     ORP = p["ORP"]
 
     def run():
-        return fn(b2, tq, l2)
+        return fn(w2, tq, l2)
 
     def materialize(out):
         denseT, n, total, _fence = out

@@ -28,8 +28,8 @@ def main():
     print(f"{corpus}: plan {p}", flush=True)
 
     tabw = jnp.asarray(ws.pack_pair_table(dfa))
-    mat = ws.bits3_matrix(hf.payload, hf.bits, G, B, p["steps_p"])
-    bits3 = jnp.asarray(mat)
+    w2 = ws.payload_lane_words(hf.payload, hf.bits, G, B)
+    bits3 = ws.words_matrix_device(jnp.asarray(w2), -(-p["steps_p"] // 32))
     lane = np.arange(G, dtype=np.int64).reshape(R, 128)
     lim2 = jnp.asarray(np.clip(hf.bits - lane * B, -(1 << 30),
                                1 << 30).astype(np.int32))

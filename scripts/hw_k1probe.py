@@ -54,7 +54,8 @@ def main():
     kw = dict(B=p["B"], G=G, steps=p["steps"], steps_p=p["steps_p"],
               SEG=p["SEG"], UNROLL=p["UNROLL"], md=md, RB=p["RB"],
               C0=st["C0"], C1=st["C1"], NS=st["NS"])
-    b3, tw, l2 = st["bits"], st["tabw"], st["lim2"]
+    b3 = ws.words_matrix_device(st["words"], -(-p["steps_p"] // 32))
+    tw, l2 = st["tabw"], st["lim2"]
 
     R = G // 128
     lim0 = jnp.zeros((R, 128), jnp.int32)       # kills all candidate work

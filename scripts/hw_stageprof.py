@@ -71,11 +71,13 @@ def main():
 
     @jax.jit
     def upto_k1(bits3, tabw, lim2):
+        bits3 = ws.words_matrix_device(bits3, -(-p["steps_p"] // 32))
         sym, val, cntmap, exmap, mrowmap = k1(bits3, tabw, lim2, **kw)
         return cntmap[0, 0, 0] + sym[0, 0, 0].astype(jnp.int32)
 
     @jax.jit
     def upto_k2(bits3, tabw, lim2):
+        bits3 = ws.words_matrix_device(bits3, -(-p["steps_p"] // 32))
         sym, val, cntmap, exmap, mrowmap = k1(bits3, tabw, lim2, **kw)
         HP = cntmap.shape[0]
 
@@ -89,6 +91,7 @@ def main():
         return ent3[0, 0, 0] + sym[0, 0, 0].astype(jnp.int32)
 
     def k3_outputs(bits3, tabw, lim2):
+        bits3 = ws.words_matrix_device(bits3, -(-p["steps_p"] // 32))
         sym, val, cntmap, exmap, mrowmap = k1(bits3, tabw, lim2, **kw)
         HP = cntmap.shape[0]
 
@@ -123,7 +126,7 @@ def main():
             bits3, tabw, lim2, Rg=p["Rg"], NG=p["NG"], ORP=p["ORP"],
             C0=st["C0"], C1=st["C1"], NS=st["NS"], chunk2=st["chunk2"], **kw)
 
-    b3, tw, l2 = st["bits"], st["tabw"], st["lim2"]
+    b3, tw, l2 = st["words"], st["tabw"], st["lim2"]
     t1 = timeit(lambda: upto_k1(b3, tw, l2), lambda o: o, fl)
     print(f"K1          : {t1*1e3:.3f} ms", flush=True)
     t2 = timeit(lambda: upto_k2(b3, tw, l2), lambda o: o, fl)

@@ -51,34 +51,30 @@ def main():
     print(f"{corpus}: bits={hf.bits} H={H} md={md} plan={p}", flush=True)
     G = p["G"]
     R = G // 128
-    chunk2 = md >= 2 and p["UNROLL"] % 2 == 0 and p["SEG"] % 2 == 0
-    C0 = C1 = 0
-    NS = 1
-    if chunk2:
-        tabq, C0, C1, NS = ws.pack_quad_tables(dfa)
-        tabw = jnp.asarray(tabq)
-        mat = ws.bits2_matrix(hf.payload, hf.bits, G, p["B"], p["steps_p"])
-    else:
-        tabw = jnp.asarray(ws.pack_pair_table(dfa))
-        mat = ws.bits3_matrix(hf.payload, hf.bits, G, p["B"], p["steps_p"])
-    bits3 = jnp.asarray(mat)
-    lane = np.arange(G, dtype=np.int64).reshape(R, 128)
-    lim2 = jnp.asarray(np.clip(hf.bits - lane * p["B"], -(1 << 30),
-                               1 << 30).astype(np.int32))
+    st = ws.stage_widescan_inputs(hf, lanes=(lanes or None))
+    chunk2, C0, C1, NS = st["chunk2"], st["C0"], st["C1"], st["NS"]
+    tabw = st["tabw"]
+    w2, lim2 = st["words"], st["lim2"]
     fl = floor_s()
     print(f"floor {fl*1e3:.1f} ms", flush=True)
     kw = dict(B=p["B"], H=H, G=G, steps=p["steps"], steps_p=p["steps_p"],
               SEG=p["SEG"], UNROLL=p["UNROLL"], md=md, RB=p["RB"])
     kw1 = dict(kw, C0=C0, C1=C1, NS=NS) if chunk2 else kw
-    k1 = (lambda *a, **k2: ws.k1_scan2(*a, **k2)) if chunk2 else ws.k1_scan
+    k1raw = ws.k1_scan2 if chunk2 else ws.k1_scan
+    steps_w = -(-p["steps_p"] // 32)
+
+    @jax.jit
+    def k1(w2, tabw, lim2):
+        wmat = ws.words_matrix_device(w2, steps_w)
+        return k1raw(wmat, tabw, lim2, **kw1)
 
     # --- stage 1: K1 alone --------------------------------------------------
     try:
         t0 = time.perf_counter()
-        outs = k1(bits3, tabw, lim2, **kw1)
+        outs = k1(w2, tabw, lim2)
         np.asarray(outs[2]).reshape(-1)[:1]
         print(f"K1 compile+run ok ({time.perf_counter()-t0:.1f}s)", flush=True)
-        t, _ = timeit(lambda: k1(bits3, tabw, lim2, **kw1),
+        t, _ = timeit(lambda: k1(w2, tabw, lim2),
                       lambda o: o[2], fl)
         print(f"K1: {t*1e3:.3f} ms", flush=True)
     except Exception as e:
@@ -89,7 +85,7 @@ def main():
     try:
         t0 = time.perf_counter()
         run = lambda: ws.wide_decode_program(
-            bits3, tabw, lim2, Rg=p["Rg"], NG=p["NG"], ORP=p["ORP"],
+            w2, tabw, lim2, Rg=p["Rg"], NG=p["NG"], ORP=p["ORP"],
             C0=C0, C1=C1, NS=NS, chunk2=chunk2, **kw)
         denseT, n, total, fence = run()
         np.asarray(fence)

@@ -13,10 +13,11 @@ from huffmandecoderongpus_tpu.huffio.bitio import unpack_bits
 from huffmandecoderongpus_tpu.huffio.encoder import encode_bytes
 from huffmandecoderongpus_tpu.ops.lanedfa import build_lane_dfa
 from huffmandecoderongpus_tpu.ops.pallas_widescan import (
-    PAD_BIT,
-    bits3_matrix,
     decode_widescan,
     pack_pair_table,
+    pack_quad_tables,
+    payload_lane_words,
+    words_matrix_device,
 )
 from huffmandecoderongpus_tpu.ops.lanedfa import EMIT_BIT, STATE_MASK
 
@@ -39,23 +40,64 @@ def test_pack_pair_table_semantics(paper1):
                 assert (e16 & 0x7F) == (ref & STATE_MASK)
 
 
-def test_bits3_matrix_layout():
+def test_pack_quad_table_post_state(paper1):
+    # compact chunked entries store the post-chunk state (round 4):
+    # walk every (state, b0, b1) against the raw DFA and check the
+    # 16-bit entry's emit/sym/post/pos fields
+    dfa = build_lane_dfa(paper1.cd.tree)
+    tabq, C0, C1, NS = pack_quad_tables(dfa)
+    n_states = dfa.entry.shape[0] // 2
+    assert NS == 1
+    C = (C0, C1)
+    for st in range(n_states):
+        for b0 in (0, 1):
+            word = int(np.asarray(tabq)[b0, st]) & 0xFFFFFFFF
+            for b1 in (0, 1):
+                e16 = (word >> (16 * b1)) & 0xFFFF
+                e0 = int(dfa.entry[2 * st + b0])
+                if e0 & EMIT_BIT:  # emission on the chunk's first bit
+                    assert e16 & 0x80
+                    assert (e16 >> 8) == ((e0 >> 16) & 0xFF)
+                    assert (e16 & 0x7F) == C[b1]  # post = root child of b1
+                else:
+                    s1 = e0 & STATE_MASK
+                    e1 = int(dfa.entry[2 * s1 + b1])
+                    if e1 & EMIT_BIT:  # emission on the second bit
+                        assert e16 & 0x80
+                        assert (e16 >> 8) == ((e1 >> 16) & 0xFF)
+                        assert (e16 & 0x7F) == 0  # post = root
+                    else:
+                        assert (e16 & 0x80) == 0
+                        assert (e16 >> 8) == 0  # OR-able slot accumulation
+                        assert (e16 & 0x7F) == (e1 & STATE_MASK)
+
+
+def test_word_staging_layout():
+    # payload_lane_words + words_matrix_device reproduce the strided
+    # lane/halo bit layout: bit j of lane g = stream bit g*B + j, zeros
+    # past the stream end, halo rows = the next lane's first bits
+    import jax.numpy as jnp
+
     rng = np.random.default_rng(1)
     payload = rng.integers(0, 256, 400, dtype=np.uint8)
     bits = 400 * 8 - 5
     G, B, steps_p = 1024, 32, 64
-    # only bits//B+1 lanes have real data at B=32; still checks layout
-    mat = bits3_matrix(payload, bits, G, B, steps_p)
-    assert mat.shape == (steps_p, G // 128, 128)
+    w2 = payload_lane_words(payload, bits, G, B)
+    assert w2.shape == (G, B // 32) and w2.dtype == np.int32
+    mat = np.asarray(words_matrix_device(jnp.asarray(w2), steps_p // 32))
+    assert mat.shape == (steps_p // 32, G // 128, 128)
     flat = unpack_bits(payload, bits)
-    for (j, lane) in [(0, 0), (5, 3), (31, 7), (63, 2)]:
-        pos = lane * B + j
-        want = flat[pos] if pos < bits else PAD_BIT
-        assert mat[j, lane // 128, lane % 128] == want
-    # all positions past the stream end are PAD_BIT
-    assert mat[40, (bits // B) // 128, (bits // B) % 128] in (0, 1, PAD_BIT)
-    last = G - 1
-    assert mat[0, last // 128, last % 128] == PAD_BIT
+
+    def bit_at(j, lane):
+        word = int(mat[j // 32, lane // 128, lane % 128]) & 0xFFFFFFFF
+        return (word >> (j % 32)) & 1
+
+    for (j, lane) in [(0, 0), (5, 3), (31, 7), (63, 2), (40, bits // B)]:
+        pos = lane * B + j  # rows >= B read the next lane's start (halo)
+        want = int(flat[pos]) if pos < bits else 0
+        assert bit_at(j, lane) == want
+    last = G - 1  # lanes past the stream end are all zeros
+    assert bit_at(0, last) == 0 and bit_at(32, last) == 0
 
 
 def test_widescan_random_bytes(rng):
@@ -122,15 +164,13 @@ def test_widescan_multi_rowgroup(rng):
     avg = hf.bits / hf.uncompressed_size
     p = ws._plan(hf.bits, H, md, lanes=1024, avg_len=avg)
     G = p["G"]
-    tabw = jnp.asarray(ws.pack_pair_table(dfa))
-    mat = ws.bits3_matrix(hf.payload, hf.bits, G, p["B"], p["steps_p"])
-    lane = np.arange(G, dtype=np.int64).reshape(G // 128, 128)
-    lim2 = jnp.asarray(np.clip(hf.bits - lane * p["B"], -(1 << 30),
-                               1 << 30).astype(np.int32))
+    st = ws.stage_widescan_inputs(hf, lanes=1024)
     denseT, n, total, _ = ws.wide_decode_program(
-        jnp.asarray(mat), tabw, lim2, B=p["B"], H=H, G=G, steps=p["steps"],
-        steps_p=p["steps_p"], SEG=p["SEG"], UNROLL=p["UNROLL"], md=md,
-        Rg=p["Rg"], NG=p["NG"], ORP=p["ORP"], RB=2, interpret=True)
+        st["words"], st["tabw"], st["lim2"], B=p["B"], H=H, G=G,
+        steps=p["steps"], steps_p=p["steps_p"], SEG=p["SEG"],
+        UNROLL=p["UNROLL"], md=md, Rg=p["Rg"], NG=p["NG"], ORP=p["ORP"],
+        RB=2, C0=st["C0"], C1=st["C1"], NS=st["NS"], chunk2=st["chunk2"],
+        interpret=True)
     assert int(total) == hf.uncompressed_size
     counts = np.asarray(n)
     mask = np.arange(p["ORP"])[None, :] < counts[:, None]
