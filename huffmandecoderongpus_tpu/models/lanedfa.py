@@ -64,3 +64,28 @@ def lane_wide(hf, param=None) -> np.ndarray:
     # the right tool under the staged device protocol — bounded
     # worst-case with no self-sync tail — via the ops API.
     return decode_widescan(hf, lanes=param, interpret=interpret)
+
+
+@register("lane_oneshot", backend="pallas")
+def lane_oneshot(hf, param=None) -> np.ndarray:
+    """Single-dispatch fused decode (ops/pallas_oneshot.py): the whole
+    program — scan+discovery, composition, fix, compaction — in ONE
+    pallas_call with VMEM-resident cells.  A latency design point: one
+    launch and zero inter-kernel HBM traffic, but it gives up the
+    4-kernel pipeline's grid-level DMA/compute overlap and measured
+    SLOWER than lane_wide amortized (paper1 94us vs 62us, v5e round 4);
+    kept in the zoo as the measured answer to "why not fuse everything".
+    Falls back to lane_wide outside its VMEM envelope."""
+    import jax
+
+    from huffmandecoderongpus_tpu.ops.pallas_oneshot import decode_oneshot
+    from huffmandecoderongpus_tpu.ops.pallas_widescan import (
+        EnvelopeError,
+        decode_widescan,
+    )
+
+    interpret = jax.default_backend() not in ("tpu",)
+    try:
+        return decode_oneshot(hf, lanes=param, interpret=interpret)
+    except EnvelopeError:
+        return decode_widescan(hf, lanes=param, interpret=interpret)

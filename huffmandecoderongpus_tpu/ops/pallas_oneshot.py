@@ -1,15 +1,18 @@
 """One-shot fused decoder: the WHOLE decode in a single Pallas kernel.
 
-Small streams are dispatch-bound, not compute-bound: the 4-kernel widescan
-program (ops/pallas_widescan.py) costs ~0.2-0.4 ms on paper1-sized inputs
-while its useful vector work is tens of microseconds — the fixed cost is
-per-kernel launch overhead plus the XLA glue between kernels (measured
-round 4: a trivial one-kernel program dispatches ~3-8x faster than the
-4-kernel pipeline on empty-ish inputs).  For streams whose entire working
-set fits VMEM (G <= 4096 lanes, a few MB of cells), this module runs the
-full decode — main scan + self-sync candidate discovery, exit-map
-composition, fix-splice, dense compaction — inside ONE `pallas_call` with
-a (phase, segment) grid:
+A latency design point, built to test whether small streams are
+dispatch-bound.  Measured verdict (v5e, round 4): they are NOT in the
+amortized regime — back-to-back dispatches overlap their launch cost, so
+the pipelined 4-kernel program wins even on paper1 (62us vs 94us here;
+news 211us vs 422us — the 4-kernel grid also overlaps block DMA with
+compute, which this kernel's whole-VMEM blocks give up).  Kept in the
+decoder zoo as `lane_oneshot`: one launch, zero inter-kernel HBM traffic,
+and the measured answer to "why not fuse everything into one kernel".
+
+For streams whose entire working set fits VMEM (G <= 4096 lanes, a few
+MB of cells), this runs the full decode — main scan + self-sync candidate
+discovery, exit-map composition, fix-splice, dense compaction — inside
+ONE `pallas_call` with a (phase, segment) grid:
 
   phase 0, segment s   main 0-chain scan + gated candidate chains
                        (same recurrences as pallas_widescan._k1_kernel2,
@@ -412,7 +415,6 @@ def _oneshot_kernel(tab_ref, lim_ref, bits_ref, out_ref, n_ref,
                             wsel = jnp.where(
                                 ge_, jnp.broadcast_to(wpre[w], (128, 128)),
                                 wsel)
-                        qm = [q == w for w in range(1, CW)]
                         qp3 = jnp.zeros((128, 128), jnp.int32)
                         for w in range(3, CW, 3):
                             qp3 = qp3 + (q >= w).astype(jnp.int32)
@@ -443,12 +445,18 @@ def _oneshot_kernel(tab_ref, lim_ref, bits_ref, out_ref, n_ref,
                             cbelow = jnp.where(take, c, cbelow)
                             t >>= 1
                         nibg = (selp(npacks, qp8, pos) >> shn) & 15
-                        cell = jnp.take_along_axis(syms[0], pos, axis=1)
-                        for w in range(1, CW):
-                            cell = jnp.where(
-                                qm[w - 1],
-                                jnp.take_along_axis(syms[w], pos, axis=1),
-                                cell)
+                        # gated per-window symbol fetch (cf. _k4_kernel)
+                        qmin = jnp.min(q)
+                        qmax = jnp.max(q)
+                        cell = jnp.zeros((128, 128), jnp.int32)
+                        for w in range(CW):
+                            cell = jax.lax.cond(
+                                (qmin <= w) & (qmax >= w),
+                                lambda c, w=w: jnp.where(
+                                    q == w,
+                                    jnp.take_along_axis(syms[w], pos,
+                                                        axis=1), c),
+                                lambda c: c, cell)
                         q1 = nibg & 1
                         q2 = q1 + ((nibg >> 1) & 1)
                         q3 = q2 + ((nibg >> 2) & 1)

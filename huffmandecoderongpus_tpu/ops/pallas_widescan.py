@@ -334,7 +334,7 @@ def _k1_kernel(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
                cntmap_ref, exmap_ref, mrowmap_ref,
                node0, cnt0, done0, exit0, nodeC, cntC, recC, cumMC,
                v_scr, cum_scr, *, B, H, steps, SEG, md, CH, HP, RB,
-               NS=1):
+               NS=1, bits_whole=False):
     # grid = (row-groups, segments), segments innermost: the kernel walks
     # all segments of RB sublane rows of lanes before moving to the next
     # row group, so the VMEM working set is bounded by RB (not G/128) and
@@ -385,8 +385,9 @@ def _k1_kernel(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
                     for u in range(md):
                         lj = i * UNROLL + (tc * CELL + cs) * md + u
                         j = s * SEG + lj
-                        wrow = bits_ref[j // 32]
-                        b = (wrow >> (j % 32)) & 1
+                        boff = j if bits_whole else lj
+                        wrow = bits_ref[boff // 32]
+                        b = (wrow >> (boff % 32)) & 1
                         w = _pair_word(tab_ref, NS, R, node)
                         e = (w >> (b << 4)) & 0xFFFF
                         e = jnp.where(lim > j, e, 0)
@@ -450,8 +451,9 @@ def _k1_kernel(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
             node, cnt, rec, cum = carry
             lj = i
             j = s * SEG + lj
-            wrow = bits_ref[j // 32]
-            b = ((wrow >> (j % 32)) & 1)[None]
+            boff = j if bits_whole else lj
+            wrow = bits_ref[boff // 32]
+            b = ((wrow >> (boff % 32)) & 1)[None]
             valid = (lim > j)[None]
             v0 = v_scr[lj][None]
             cum0 = cum_scr[lj][None]
@@ -522,9 +524,19 @@ def k1_scan(wmat, tabw, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL, md,
     cells_seg = SEG // md // CELL
     cells_p = steps_p // md // CELL
     NS = tabw.shape[0]  # static under jit; > 1 selects the wide layout
+    # word-aligned segments stream per-segment bits blocks through the
+    # grid pipeline; odd-md segments (SEG not a word multiple — small
+    # corpora only) keep the whole matrix VMEM-resident per row group
+    bits_whole = SEG % 32 != 0
+    bspec = (pl.BlockSpec((wmat.shape[0], RB, 128),
+                          lambda rg, s: (0, rg, 0),
+                          memory_space=pltpu.VMEM)
+             if bits_whole else
+             pl.BlockSpec((SEG // 32, RB, 128), lambda rg, s: (s, rg, 0),
+                          memory_space=pltpu.VMEM))
     kern = functools.partial(
         _k1_kernel, B=B, H=H, steps=steps, SEG=SEG,
-        md=md, CH=CH, HP=HP, RB=RB, NS=NS)
+        md=md, CH=CH, HP=HP, RB=RB, NS=NS, bits_whole=bits_whole)
     return pl.pallas_call(
         kern,
         grid=(RG, S),
@@ -533,9 +545,7 @@ def k1_scan(wmat, tabw, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL, md,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((RB, 128), lambda rg, s: (rg, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((wmat.shape[0], RB, 128),
-                         lambda rg, s: (0, rg, 0),
-                         memory_space=pltpu.VMEM),
+            bspec,
         ],
         out_specs=[
             pl.BlockSpec((cells_seg, RB, 128), lambda rg, s: (s, rg, 0),
@@ -587,7 +597,7 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
                 cntmap_ref, exmap_ref, mrowmap_ref,
                 node0, cnt0, done0, exit0, nodeC, cntC, recC, cumMC,
                 v_scr, cum_scr, *, B, H, steps, SEG, md, CH, HP,
-                RB, C0, C1, NS, discover=True):
+                RB, C0, C1, NS, discover=True, bits_whole=False):
     """Chunked twin of _k1_kernel: same grid/specs, 2-bit chunks
     extracted from the word rows with static shifts; v_scr holds the
     0-chain's per-chunk emission position mask (emit << pos)."""
@@ -654,8 +664,9 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
             for cu in range(UNROLL // 2):
                 lj2 = i * (UNROLL // 2) + cu
                 jbit = s * SEG + 2 * lj2  # absolute bit of chunk start
-                wrow = bits_ref[jbit // 32]
-                sh = jbit % 32
+                boff = jbit if bits_whole else 2 * lj2
+                wrow = bits_ref[boff // 32]
+                sh = boff % 32
                 b0 = (wrow >> sh) & 1
                 b1 = (wrow >> (sh + 1)) & 1
                 w = _quad_word(tab_ref, NS, R, node, b0)
@@ -739,8 +750,9 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
                 node, cnt, rec, cum = carry
                 lj2 = i
                 jbit = s * SEG + 2 * lj2
-                wrow = bits_ref[jbit // 32]
-                sh = jbit % 32
+                boff = jbit if bits_whole else 2 * lj2
+                wrow = bits_ref[boff // 32]
+                sh = boff % 32
                 b0 = ((wrow >> sh) & 1)[None]
                 b1 = ((wrow >> (sh + 1)) & 1)[None]
                 valid = (lim > jbit)[None]
@@ -824,9 +836,17 @@ def k1_scan2(wmat, tabq, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL,
         raise ValueError("UNROLL/md must cover whole cells (see _plan)")
     cells_seg = SEG // md // CELL
     cells_p = steps_p // md // CELL
+    bits_whole = SEG % 32 != 0
+    bspec = (pl.BlockSpec((wmat.shape[0], RB, 128),
+                          lambda rg, s: (0, rg, 0),
+                          memory_space=pltpu.VMEM)
+             if bits_whole else
+             pl.BlockSpec((SEG // 32, RB, 128), lambda rg, s: (s, rg, 0),
+                          memory_space=pltpu.VMEM))
     kern = functools.partial(
         _k1_kernel2, B=B, H=H, steps=steps, SEG=SEG,
-        md=md, CH=CH, HP=HP, RB=RB, C0=C0, C1=C1, NS=NS, discover=discover)
+        md=md, CH=CH, HP=HP, RB=RB, C0=C0, C1=C1, NS=NS, discover=discover,
+        bits_whole=bits_whole)
     return pl.pallas_call(
         kern,
         grid=(RG, S),
@@ -835,9 +855,7 @@ def k1_scan2(wmat, tabq, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((RB, 128), lambda rg, s: (rg, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((wmat.shape[0], RB, 128),
-                         lambda rg, s: (0, rg, 0),
-                         memory_space=pltpu.VMEM),
+            bspec,
         ],
         out_specs=[
             pl.BlockSpec((cells_seg, RB, 128), lambda rg, s: (s, rg, 0),
@@ -945,7 +963,7 @@ def k2_compose(ex3, start, *, Rg, NG, interpret=False):
 
 def _k3_kernel(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
                symin_ref, valin_ref, sym_ref, val_ref, nodeF,
-               *, G, SEG, md, RB, NS=1):
+               *, G, SEG, md, RB, NS=1, bits_whole=False):
     """Adaptive fix + splice scan: full-length grid, but a segment only
     *re-decodes* while some lane's splice window (cut) extends into it —
     merge rows are usually small, yet phase-locked runs of one short code
@@ -987,8 +1005,9 @@ def _k3_kernel(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
                     for u in range(md):
                         lj = i * UNROLL + (tc * CELL + cs) * md + u
                         j = s * SEG + lj
-                        wrow = bits_ref[j // 32]
-                        b = (wrow >> (j % 32)) & 1
+                        boff = j if bits_whole else lj
+                        wrow = bits_ref[boff // 32]
+                        b = (wrow >> (boff % 32)) & 1
                         w = _pair_word(tab_ref, NS, R, node)
                         e = (w >> (b << 4)) & 0xFFFF
                         # no stream-limit mask: slots at/above each
@@ -1035,8 +1054,15 @@ def k3_fix(wmat, tabw, ent2, cut2, cutsl2, sym, val, *, G, steps_p, SEG,
     cells_seg = SEG // md // CELL
     cells_p = steps_p // md // CELL
     NS = tabw.shape[0]  # static under jit; > 1 selects the wide layout
+    bits_whole = SEG % 32 != 0
+    bspec = (pl.BlockSpec((wmat.shape[0], RB, 128),
+                          lambda rg, s: (0, rg, 0),
+                          memory_space=pltpu.VMEM)
+             if bits_whole else
+             pl.BlockSpec((SEG // 32, RB, 128), lambda rg, s: (s, rg, 0),
+                          memory_space=pltpu.VMEM))
     kern = functools.partial(_k3_kernel, G=G, SEG=SEG, md=md,
-                             RB=RB, NS=NS)
+                             RB=RB, NS=NS, bits_whole=bits_whole)
     cell_spec = pl.BlockSpec((cells_seg, RB, 128), lambda rg, s: (s, rg, 0),
                              memory_space=pltpu.VMEM)
     lane_spec = pl.BlockSpec((RB, 128), lambda rg, s: (rg, 0),
@@ -1050,9 +1076,7 @@ def k3_fix(wmat, tabw, ent2, cut2, cutsl2, sym, val, *, G, steps_p, SEG,
             lane_spec,
             lane_spec,
             lane_spec,
-            pl.BlockSpec((wmat.shape[0], RB, 128),
-                         lambda rg, s: (0, rg, 0),
-                         memory_space=pltpu.VMEM),
+            bspec,
             cell_spec,
             cell_spec,
         ],
@@ -1069,7 +1093,7 @@ def k3_fix(wmat, tabw, ent2, cut2, cutsl2, sym, val, *, G, steps_p, SEG,
 
 def _k3_kernel2(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
                 symin_ref, valin_ref, sym_ref, val_ref, nodeF,
-                *, G, SEG, md, C0, C1, NS, RB):
+                *, G, SEG, md, C0, C1, NS, RB, bits_whole=False):
     """Chunked twin of _k3_kernel (fix + splice; see there).  A lane
     whose entry bit is odd activates mid-chunk: that chunk consumes only
     its second bit, i.e. a root step to C0/C1 with no emission possible
@@ -1099,8 +1123,9 @@ def _k3_kernel2(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
             for cu in range(UNROLL // 2):
                 lj2 = i * (UNROLL // 2) + cu
                 jbit = s * SEG + 2 * lj2
-                wrow = bits_ref[jbit // 32]
-                sh = jbit % 32
+                boff = jbit if bits_whole else 2 * lj2
+                wrow = bits_ref[boff // 32]
+                sh = boff % 32
                 b0 = (wrow >> sh) & 1
                 b1 = (wrow >> (sh + 1)) & 1
                 w = _quad_word(tab_ref, NS, R, node, b0)
@@ -1165,8 +1190,16 @@ def k3_fix2(wmat, tabq, ent2, cut2, cutsl2, sym, val, *, G, steps_p, SEG,
     S = steps_p // SEG
     cells_seg = SEG // md // CELL
     cells_p = steps_p // md // CELL
+    bits_whole = SEG % 32 != 0
+    bspec = (pl.BlockSpec((wmat.shape[0], RB, 128),
+                          lambda rg, s: (0, rg, 0),
+                          memory_space=pltpu.VMEM)
+             if bits_whole else
+             pl.BlockSpec((SEG // 32, RB, 128), lambda rg, s: (s, rg, 0),
+                          memory_space=pltpu.VMEM))
     kern = functools.partial(_k3_kernel2, G=G, SEG=SEG,
-                             md=md, C0=C0, C1=C1, NS=NS, RB=RB)
+                             md=md, C0=C0, C1=C1, NS=NS, RB=RB,
+                             bits_whole=bits_whole)
     cell_spec = pl.BlockSpec((cells_seg, RB, 128), lambda rg, s: (s, rg, 0),
                              memory_space=pltpu.VMEM)
     lane_spec = pl.BlockSpec((RB, 128), lambda rg, s: (rg, 0),
@@ -1180,9 +1213,7 @@ def k3_fix2(wmat, tabq, ent2, cut2, cutsl2, sym, val, *, G, steps_p, SEG,
             lane_spec,
             lane_spec,
             lane_spec,
-            pl.BlockSpec((wmat.shape[0], RB, 128),
-                         lambda rg, s: (0, rg, 0),
-                         memory_space=pltpu.VMEM),
+            bspec,
             cell_spec,
             cell_spec,
         ],
@@ -1277,7 +1308,6 @@ def _k4_kernel(sym_ref, val_ref, out_ref, *, cells_p, cells_pp, ORP, RT):
                     q = q + ge.astype(jnp.int32)
                     wsel = jnp.where(
                         ge, jnp.broadcast_to(wpre[w], (128, 128)), wsel)
-                qm = [q == w for w in range(1, CW)]
                 # pack index + field shift of each element's window
                 qp3 = jnp.zeros((128, 128), jnp.int32)
                 for w in range(3, CW, 3):
@@ -1311,11 +1341,20 @@ def _k4_kernel(sym_ref, val_ref, out_ref, *, cells_p, cells_pp, ORP, RT):
                     cbelow = jnp.where(take, c, cbelow)
                     t >>= 1
                 nibg = (selp(npacks, qp8, pos) >> shn) & 15
-                cell = jnp.take_along_axis(syms[0], pos, axis=1)
-                for w in range(1, CW):
-                    cell = jnp.where(
-                        qm[w - 1],
-                        jnp.take_along_axis(syms[w], pos, axis=1), cell)
+                # gated per-window symbol fetch: one out-window's ranks
+                # usually span 1-2 of the CW cell windows, so each
+                # window's gather runs only when some rank lands in it
+                # (a gather costs ~5.6x an ALU op; round 4)
+                qmin = jnp.min(q)
+                qmax = jnp.max(q)
+                cell = jnp.zeros((128, 128), jnp.int32)
+                for w in range(CW):
+                    cell = jax.lax.cond(
+                        (qmin <= w) & (qmax >= w),
+                        lambda c, w=w: jnp.where(
+                            q == w,
+                            jnp.take_along_axis(syms[w], pos, axis=1), c),
+                        lambda c: c, cell)
                 q1 = nibg & 1
                 q2 = q1 + ((nibg >> 1) & 1)
                 q3 = q2 + ((nibg >> 2) & 1)
@@ -1564,13 +1603,14 @@ def stage_widescan_inputs(hf, lanes=None):
 def decode_widescan(hf, lanes=None, check_size=True, interpret=False):
     """Wide-lane fused decode of a HuffFile to dense bytes.
 
-    Small streams whose whole working set fits VMEM route to the
-    single-dispatch one-shot kernel (ops/pallas_oneshot.py — small
-    corpora are dispatch-bound, round 4).  Falls back to the round-1
-    Pallas path for tiny streams, trees beyond the wide quad-table limit
-    (1023 internal states; full byte alphabets at 255 states stay on the
-    fast path via chunked tables), or a lane overflowing the dense
-    output buffer."""
+    Falls back to the round-1 Pallas path for tiny streams, trees beyond
+    the wide quad-table limit (1023 internal states; full byte alphabets
+    at 255 states stay on the fast path via chunked tables), or a lane
+    overflowing the dense output buffer.  (The single-dispatch one-shot
+    kernel, ops/pallas_oneshot.py, measured SLOWER than this pipelined
+    4-kernel program even on paper1 — back-to-back dispatches overlap
+    their launch cost, so small corpora are not launch-bound after all;
+    it stays registered as the `lane_oneshot` zoo decoder.)"""
     def _fallback():
         from huffmandecoderongpus_tpu.ops.pallas_lanedfa import (
             decode_lanedfa_pallas,
@@ -1583,15 +1623,6 @@ def decode_widescan(hf, lanes=None, check_size=True, interpret=False):
         st = stage_widescan_inputs(hf, lanes=lanes)
     except EnvelopeError:
         return _fallback()
-
-    from huffmandecoderongpus_tpu.ops import pallas_oneshot as oneshot
-
-    if oneshot.oneshot_eligible(st):
-        try:
-            return oneshot.decode_oneshot_staged(
-                hf, st, check_size=check_size, interpret=interpret)
-        except EnvelopeError:
-            pass  # lane overflow etc. -> 4-kernel program below
     p = st["plan"]
     G = p["G"]
     H, md = st["H"], st["md"]

@@ -30,15 +30,24 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: multi-minute big-corpus tests (run with RUN_SLOW=1)"
     )
+    config.addinivalue_line(
+        "markers",
+        "interpret: interpreter-heavy Mosaic kernel tests (>30s each; run "
+        "with RUN_SLOW=1 — the default gate keeps one cheap case per path)",
+    )
 
 
 def pytest_collection_modifyitems(config, items):
     if os.environ.get("RUN_SLOW"):
         return
     skip = pytest.mark.skip(reason="slow; set RUN_SLOW=1 to run")
+    skip_i = pytest.mark.skip(
+        reason="interpreter-heavy; set RUN_SLOW=1 to run")
     for item in items:
         if "slow" in item.keywords:
             item.add_marker(skip)
+        elif "interpret" in item.keywords:
+            item.add_marker(skip_i)
 
 
 @pytest.fixture(scope="session")

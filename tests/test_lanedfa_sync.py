@@ -32,6 +32,7 @@ def test_sync_registry(paper1):
     np.testing.assert_array_equal(out, paper1.ucd)
 
 
+@pytest.mark.interpret
 def test_sync_matches_baseline_random(rng):
     for n in (100, 5000, 65537):
         raw = rng.integers(0, 256, size=n, dtype=np.uint8)

@@ -24,6 +24,7 @@ def test_oneshot_text_like(rng):
     np.testing.assert_array_equal(out, raw)
 
 
+@pytest.mark.interpret
 def test_oneshot_odd_md(paper1):
     # paper1's tree has min code length 3: odd-md slot splitting inside
     # the fused kernel's main and fix phases

@@ -100,6 +100,7 @@ def test_word_staging_layout():
     assert bit_at(0, last) == 0 and bit_at(32, last) == 0
 
 
+@pytest.mark.interpret
 def test_widescan_random_bytes(rng):
     raw = rng.integers(0, 256, size=9000, dtype=np.uint8)
     hf = encode_bytes(raw)
@@ -117,6 +118,7 @@ def test_widescan_text_like(rng):
     np.testing.assert_array_equal(out, raw)
 
 
+@pytest.mark.interpret
 def test_widescan_paper1_prefix(paper1):
     raw = np.asarray(paper1.ucd[:24000], dtype=np.uint8)
     hf = encode_bytes(raw)
@@ -129,6 +131,7 @@ def test_widescan_tiny_falls_back(hello):
     np.testing.assert_array_equal(out, hello.ucd)
 
 
+@pytest.mark.interpret
 def test_widescan_two_symbol_alphabet(rng):
     # degenerate tree: height 1 region, min depth 1 (md=1 slot path)
     raw = (rng.random(30000) < 0.3).astype(np.uint8)
@@ -147,6 +150,7 @@ def test_widescan_bad_header_raises(rng):
         decode_widescan(bad, lanes=1024, interpret=True)
 
 
+@pytest.mark.interpret
 def test_widescan_multi_rowgroup(rng):
     # RB < R exercises the 2D K1 grid (row-group outer dimension): the
     # per-row-group scratch must reset at each group's first segment
@@ -178,6 +182,7 @@ def test_widescan_multi_rowgroup(rng):
     np.testing.assert_array_equal(out, raw)
 
 
+@pytest.mark.interpret
 def test_widescan_odd_md_chunked(paper1):
     # paper1's tree has min code length 3 (odd): the 2-bit chunked
     # kernels must handle emissions split across md-slot boundaries
@@ -211,6 +216,7 @@ def test_widescan_phase_locked_runs(rng):
     np.testing.assert_array_equal(out, data)
 
 
+@pytest.mark.interpret
 def test_widescan_full_byte_alphabet_stays_wide(rng):
     # a full 256-symbol alphabet has 255 internal states — beyond the
     # 127-state compact table but inside the chunked *wide* layout
@@ -268,6 +274,7 @@ def test_widescan_indexed_wide_table(rng):
     np.testing.assert_array_equal(out, raw)
 
 
+@pytest.mark.interpret
 def test_widescan_high_symbols(rng):
     # symbols >= 128 put the sign bit in the quad table's high half-word
     # (pack_quad_tables once overflowed the int32 store; corpus files are
@@ -280,6 +287,7 @@ def test_widescan_high_symbols(rng):
     np.testing.assert_array_equal(out, raw)
 
 
+@pytest.mark.interpret
 def test_widescan_md1_deep_tree_stays_wide(rng):
     # min code length 1 with >127 internal states (one dominant symbol
     # over a full byte alphabet — the adversarial/binary-ish shape): the
