@@ -13,8 +13,9 @@ left in HBM.  Two environment-driven choices, both documented:
     host<->device transfer bandwidth is ~3 orders of magnitude below a real
     attach, and whose `block_until_ready` can return before execution
     completes.  Timing therefore fences on a 1-element readback of a value
-    data-dependent on the whole program, and the relay's fixed round-trip
-    floor (measured with a trivial program) is subtracted.
+    data-dependent on the whole program, and the per-fence round-trip
+    (which varies 23-36 ms between batches) is cancelled by two-batch
+    differencing: per-run time = (T(KB) - T(KA)) / (KB - KA).
   * Candidates are tried best-first (Pallas lane-DFA kernels, then the
     XLA speculative pipeline); a candidate that fails to compile or is
     outclassed is skipped with a note on stderr.
@@ -233,25 +234,37 @@ def main() -> None:
                 print(f"# {name}: warm run {warm*1e3:.0f} ms, outclassed; "
                       "skipped timing", file=sys.stderr)
                 continue
-            # amortized timing: dispatch K runs back-to-back, fence once —
-            # the relay round-trip spreads over K, so its jitter cannot
-            # swamp millisecond-scale programs
+            # amortized two-batch differencing: per-run time =
+            # (T(KB) - T(KA)) / (KB - KA) over min-of-trials batches.
+            # The relay's per-fence round-trip varies 23-36 ms BETWEEN
+            # batches (round 4 measurement), so subtracting a separately
+            # measured floor leaves +-rt_spread/K of error — differencing
+            # two batch sizes cancels the round-trip entirely and leaves
+            # ~rt_spread/(KB-KA).  KB stays <= 30: very long unfenced
+            # dispatch queues have wedged this environment's relay.
             t0 = time.perf_counter()
             fence, out = run()
             sync(fence)
             once = time.perf_counter() - t0  # post-compile single run
-            K = 10 if once < 1.0 else 1
-            trials = 25 if best is None else 5
-            ts = []
+            fast = once < 1.0
+            KA, KB = (10, 30) if fast else (1, 3)
+            trials = 13 if best is None else 4
+            la, lb = [], []
             for _ in range(trials):
                 t0 = time.perf_counter()
-                for _k in range(K):
+                for _k in range(KA):
                     fence, out = run()
                 sync(fence)  # one round-trip for the whole batch
-                ts.append((time.perf_counter() - t0 - floor) / K)
-            dev = max(min(ts), 1e-6)
-            print(f"# {name}: {dev*1e3:.2f} ms/run (K={K}, {trials} trials, "
-                  f"floor {floor*1e3:.1f} ms)", file=sys.stderr)
+                la.append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                for _k in range(KB):
+                    fence, out = run()
+                sync(fence)
+                lb.append(time.perf_counter() - t0)
+            dev = max((min(lb) - min(la)) / (KB - KA), 1e-6)
+            print(f"# {name}: {dev*1e3:.2f} ms/run (K={KA}/{KB}, "
+                  f"{trials} trials, floor {floor*1e3:.1f} ms)",
+                  file=sys.stderr)
             if best is None or dev < best[0]:
                 best = (dev, name)
         except Exception as e:  # candidate unsupported on this toolchain

@@ -596,11 +596,29 @@ def k1_scan(wmat, tabw, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL, md,
 def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
                 cntmap_ref, exmap_ref, mrowmap_ref,
                 node0, cnt0, done0, exit0, nodeC, cntC, recC, cumMC,
-                v_scr, cum_scr, *, B, H, steps, SEG, md, CH, HP,
-                RB, C0, C1, NS, discover=True, bits_whole=False):
-    """Chunked twin of _k1_kernel: same grid/specs, 2-bit chunks
-    extracted from the word rows with static shifts; v_scr holds the
-    0-chain's per-chunk emission position mask (emit << pos)."""
+                node_scr, cum_scr, ldr_scr, lcnt_scr,
+                *, B, H, steps, SEG, md, CH, HP,
+                RB, C0, C1, NS, NL, discover=True, bits_whole=False):
+    """Chunked twin of _k1_kernel with two-tier state-equality self-sync
+    (round 4).
+
+    Candidates resolve by STATE EQUALITY, not emission coincidence: the
+    main scan stores its post-chunk node per row (node_scr), and a chain
+    whose state equals the 0-chain's at the same row has an identical
+    future (DFA determinism), so it resolves immediately — strictly
+    earlier than waiting for a coincident emission.
+
+    Phase-locked runs still defer 0-chain merges for whole bit-phase
+    residue classes, so the first chain of each residue class mod md is
+    a LEADER (scratch slots 0..NL-1): leaders walk to their own
+    resolution, storing node+count per row (ldr_scr/lcnt_scr), while the
+    remaining chains (followers) also state-merge against their residue
+    leader — inside a phase-locked run same-residue chains coincide
+    almost immediately, so follower groups gate off fast and the long
+    tail walks NL=md chains instead of H-1 (the round-3 candidate-tail
+    problem; this supersedes the windowed exit-map composition idea).
+    Follower records compose through the leader in the epilogue:
+    total = leader_total - (leader_cnt(m) - cnt(m))."""
     R = RB
     s = pl.program_id(1)
 
@@ -618,20 +636,17 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
         cumMC[...] = zc
 
     lim = lim_ref[...]
-    # Candidate liveness per *chain group*, groups = start-row residue
-    # classes mod md (sub-split to <= 6 chains), laid out contiguously in
-    # scratch: a phase-locked run (e.g. an 'abab' stretch with 2-bit
-    # codes) defers self-sync for a whole residue class at once, so
-    # residue-pure groups let the merged classes gate off while only the
-    # locked class keeps walking.  Scratch index ci holds the chain
-    # starting at row SROWS[ci]; candidate-map slot = start row (= the
-    # entry offset the chain represents).
+    # Chain layout: leaders (start rows 1..NL, one per bit-phase residue
+    # class mod md) at scratch slots 0..NL-1, then follower groups
+    # (same-residue chains, sub-split to <= 6) — scratch index ci holds
+    # the chain starting at row SROWS[ci]; candidate-map slot = start
+    # row (= the entry offset the chain represents).
     mdg = max(md, 1)
-    SROWS = []
-    GROUPS = []  # (scratch base, first start row, chain count)
+    SROWS = list(range(1, NL + 1)) if discover else []
+    GROUPS = []  # follower groups: (scratch base, first start row, count)
     if discover:  # indexed lanes all start at codeword boundaries:
         for p in range(mdg):  # no candidate chains at all
-            rows = [c + 1 for c in range(CH) if (c + 1) % mdg == p]
+            rows = [r for r in range(NL + 1, CH + 1) if (r - 1) % mdg == p]
             for j in range(0, len(rows), 6):
                 sub = rows[j:j + 6]
                 if sub:
@@ -640,6 +655,9 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
     lim_ok = (lim > s * SEG).astype(jnp.int32)
     glive = []
     live_any = jnp.int32(0)
+    for ci in range(NL):
+        live_any = jnp.maximum(
+            live_any, jnp.max((1 - (recC[ci] & 1)) * lim_ok))
     for (base, r0, n) in GROUPS:
         lg = jnp.int32(0)
         for ci in range(base, base + n):
@@ -682,7 +700,13 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
                     done = done | exiting
                 cnt = cnt + emit
                 if store_scr:
-                    v_scr[lj2] = emit << pos
+                    # candidates merge on STATE EQUALITY with the 0-chain
+                    # (node_scr); -1 marks rows past the 0-chain's exit
+                    # so post-exit coincidences resolve via `late` instead
+                    if track_exit:
+                        node_scr[lj2] = jnp.where(done > 0, -1, node)
+                    else:
+                        node_scr[lj2] = node
                     cum_scr[lj2] = cnt
                 # slot attribution: both chunk bits land in the same
                 # md-slot iff md is even; odd md splits by pos
@@ -736,51 +760,109 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
     def _light_n():
         main_block(False, False)
 
-    # ---- candidate pass (one gated region per chain group) ----------------
+    def chunk_step(node, rec, srow, lj2, NCH):
+        """Shared walk step for a candidate batch (NCH, R, 128): returns
+        (node', em, pos, cum0, nz, valid, started, alive, jbit)."""
+        jbit = s * SEG + 2 * lj2
+        boff = jbit if bits_whole else 2 * lj2
+        wrow = bits_ref[boff // 32]
+        sh = boff % 32
+        b0 = ((wrow >> sh) & 1)[None]
+        b1 = ((wrow >> (sh + 1)) & 1)[None]
+        valid = (lim > jbit)[None]
+        n2 = node.reshape(NCH * R, 128)
+        w0, w1 = _quad_word(tab_ref, NS, NCH * R, n2)
+        w = jnp.where(b0 > 0, w1.reshape(NCH, R, 128),
+                      w0.reshape(NCH, R, 128))
+        e = (w >> (b1 << 4)) & 0xFFFF
+        e = jnp.where(valid, e, 0)
+        rc = jnp.where(b1 > 0, C1, C0)
+        emit, pos, _sym, nst = _e_step2(e, NS, rc)
+        alive = 1 - (rec & 1)
+        started = jnp.where(jbit >= srow, 1, 0)
+        partial = jnp.where(srow == jbit + 1, 1, 0)
+        return (emit, pos, nst, rc, partial, valid, started, alive, jbit)
+
+    # ---- leader pass: NL chains, one per residue, walk to their OWN
+    # resolution but keep counting raw (followers compose through them) --
+    def _leaders():
+        srow = jax.lax.broadcasted_iota(jnp.int32, (NL, R, 128), 0) + 1
+
+        def body(i, carry):
+            node, cnt, rec, cum = carry
+            (emit, pos, nst, rc, partial, valid, started, alive,
+             jbit) = chunk_step(node, rec, srow, i, NL)
+            # leaders walk and count PAST their resolution (started-gated
+            # only): follower deltas need the raw trajectory count
+            node = jnp.where(started > 0, nst, node)
+            node = jnp.where((partial > 0) & valid,
+                             jnp.broadcast_to(rc, node.shape), node)
+            em = emit * started
+            cnt = cnt + em
+            # publish the trajectory for followers; a late-resolved
+            # (exited) leader publishes -1 so nobody merges into it
+            lstop = (rec & 1) * (1 - ((rec >> 1) & 1))
+            ldr_scr[i] = jnp.where(lstop > 0, -1, node)
+            lcnt_scr[i] = cnt
+            nz = node_scr[i][None]
+            cum0 = cum_scr[i][None]
+            m0 = ((alive * started) > 0) & valid & (node == nz)
+            late = ((em * alive) > 0) & (jbit + pos + 1 >= B)
+            rec_m = ((jbit + 1) << 3) | 2 | 1
+            rec_l = (((jbit + pos) << 3) | 1)
+            rec = jnp.where(m0, rec_m, jnp.where(late, rec_l, rec))
+            cum = jnp.where(m0, jnp.broadcast_to(cum0, cum.shape) - cnt,
+                            jnp.where(late, cnt, cum))
+            return node, cnt, rec, cum
+
+        init = (nodeC[0:NL], cntC[0:NL], recC[0:NL], cumMC[0:NL])
+        node, cnt, rec, cum = jax.lax.fori_loop(0, SEG // 2, body, init,
+                                                unroll=SEG // 2)
+        nodeC[0:NL] = node
+        cntC[0:NL] = cnt
+        recC[0:NL] = rec
+        cumMC[0:NL] = cum
+
+    if NL:
+        pl.when(live_any > 0)(_leaders)
+
+    # ---- follower pass (one gated region per chain group) -----------------
     for gi, (base, r0g, CHg) in enumerate(GROUPS):
         c0g, c1g = base, base + CHg
+        lp = (r0g - 1) % mdg  # this group's residue leader slot
 
         @pl.when(glive[gi] > 0)
-        def _cands(c0g=c0g, c1g=c1g, CHg=CHg, r0g=r0g):
+        def _cands(c0g=c0g, c1g=c1g, CHg=CHg, r0g=r0g, lp=lp):
             # start row of scratch chain ci = r0g + mdg*(ci - base)
             srow = jax.lax.broadcasted_iota(
                 jnp.int32, (CHg, R, 128), 0) * mdg + r0g
 
             def body(i, carry):
                 node, cnt, rec, cum = carry
-                lj2 = i
-                jbit = s * SEG + 2 * lj2
-                boff = jbit if bits_whole else 2 * lj2
-                wrow = bits_ref[boff // 32]
-                sh = boff % 32
-                b0 = ((wrow >> sh) & 1)[None]
-                b1 = ((wrow >> (sh + 1)) & 1)[None]
-                valid = (lim > jbit)[None]
-                v0m = v_scr[lj2][None]
-                cum0 = cum_scr[lj2][None]
-                n2 = node.reshape(CHg * R, 128)
-                w0, w1 = _quad_word(tab_ref, NS, CHg * R, n2)
-                w = jnp.where(b0 > 0, w1.reshape(CHg, R, 128),
-                              w0.reshape(CHg, R, 128))
-                e = (w >> (b1 << 4)) & 0xFFFF
-                e = jnp.where(valid, e, 0)
-                rc = jnp.where(b1 > 0, C1, C0)
-                emit, pos, _sym, nst = _e_step2(e, NS, rc)
-                alive = 1 - (rec & 1)
-                started = jnp.where(jbit >= srow, 1, 0)
-                partial = jnp.where(srow == jbit + 1, 1, 0)
+                (emit, pos, nst, rc, partial, valid, started, alive,
+                 jbit) = chunk_step(node, rec, srow, i, CHg)
                 node = jnp.where(alive * started > 0, nst, node)
                 node = jnp.where((alive * partial > 0) & valid,
                                  jnp.broadcast_to(rc, node.shape), node)
                 em = emit * alive * started
                 cnt = cnt + em
-                mbit = (v0m >> pos) & 1
-                late = em * jnp.where(jbit + pos + 1 >= B, 1, 0)
-                resolve = ((em * mbit) | late) > 0
-                rec_val = (mbit << 1) + (((jbit + pos) << 2) | 1)
-                rec = jnp.where(resolve, rec_val, rec)
-                cum = jnp.where(resolve,
-                                jnp.broadcast_to(cum0, cum.shape), cum)
+                nz = node_scr[i][None]
+                nl = ldr_scr[i, lp][None]
+                cum0 = cum_scr[i][None]
+                lcnt = lcnt_scr[i, lp][None]
+                ok = ((alive * started) > 0) & valid
+                m0 = ok & (node == nz)
+                mL = ok & (node == nl) & ~m0
+                late = (em > 0) & (jbit + pos + 1 >= B)
+                rec_m0 = ((jbit + 1) << 3) | 2 | 1
+                rec_mL = ((jbit + 1) << 3) | 4 | 1
+                rec_l = ((jbit + pos) << 3) | 1
+                rec = jnp.where(m0, rec_m0, jnp.where(
+                    mL, rec_mL, jnp.where(late, rec_l, rec)))
+                cum = jnp.where(
+                    m0, jnp.broadcast_to(cum0, cum.shape) - cnt,
+                    jnp.where(mL, jnp.broadcast_to(lcnt, cum.shape) - cnt,
+                              jnp.where(late, cnt, cum)))
                 return node, cnt, rec, cum
 
             init = (nodeC[c0g:c1g], cntC[c0g:c1g],
@@ -792,25 +874,53 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
             recC[c0g:c1g] = rec
             cumMC[c0g:c1g] = cum
 
-    # ---- epilogue (identical semantics to the 1-bit kernel) ---------------
+    # ---- epilogue: leaders first, then followers compose through them -----
     @pl.when(s == pl.num_programs(1) - 1)
     def _epilogue():
-        cntmap_ref[0] = cnt0[...]
+        cnt0t = cnt0[...]
+        sent = jnp.full((R, 128), steps, jnp.int32)
+        cntmap_ref[0] = cnt0t
         exmap_ref[0] = exit0[...]
         mrowmap_ref[0] = jnp.full((R, 128), -1, jnp.int32)
-        for ci, row in enumerate(SROWS):
-            # scratch chain ci starts at row `row` = its entry offset =
-            # its candidate-map slot
+        Ltot, Lex, Lmrow = [], [], []
+        for ci in range(NL):
             rec = recC[ci]
-            mrg = (rec >> 1) & 1
-            mrow = rec >> 2
-            cnt_tot = cntC[ci] + mrg * (cnt0[...] - cumMC[ci])
-            ex_tot = jnp.where(mrg > 0, exit0[...], mrow + 1 - B)
-            cntmap_ref[row] = cnt_tot
-            exmap_ref[row] = jnp.where(
-                (rec & 1) > 0, ex_tot, jnp.zeros((R, 128), jnp.int32))
-            mrowmap_ref[row] = jnp.where(
-                mrg > 0, mrow, jnp.full((R, 128), steps, jnp.int32))
+            res = rec & 1
+            mrg = (rec >> 1) & 1  # kind 1 = merged with the 0-chain
+            mrow = rec >> 3
+            # merged: 0-chain total minus the stored delta; late: total
+            # stored at the exit emission (the raw count keeps growing
+            # into the halo); unresolved: the raw count (stream ended)
+            tot = jnp.where(mrg > 0, cnt0t - cumMC[ci], cumMC[ci])
+            tot = jnp.where(res > 0, tot, cntC[ci])
+            ex = jnp.where(mrg > 0, exit0[...], mrow + 1 - B)
+            ex = jnp.where(res > 0, ex, 0)
+            mro = jnp.where((res > 0) & (mrg > 0), mrow, sent)
+            cntmap_ref[ci + 1] = tot
+            exmap_ref[ci + 1] = ex
+            mrowmap_ref[ci + 1] = mro
+            Ltot.append(tot)
+            Lex.append(ex)
+            Lmrow.append(mro)
+        for ci in range(NL, len(SROWS)):
+            row = SROWS[ci]
+            lp = (row - 1) % mdg
+            rec = recC[ci]
+            res = rec & 1
+            kind = (rec >> 1) & 3  # 0 late, 1 merged-0, 2 merged-leader
+            mrow = rec >> 3
+            tot = jnp.where(kind == 1, cnt0t - cumMC[ci], cumMC[ci])
+            tot = jnp.where(kind == 2, Ltot[lp] - cumMC[ci], tot)
+            tot = jnp.where(res > 0, tot, cntC[ci])
+            ex = jnp.where(kind == 1, exit0[...], mrow + 1 - B)
+            ex = jnp.where(kind == 2, Lex[lp], ex)
+            ex = jnp.where(res > 0, ex, 0)
+            mro = jnp.where(kind == 1, mrow, sent)
+            mro = jnp.where(kind == 2, jnp.maximum(mrow, Lmrow[lp]), mro)
+            mro = jnp.where(res > 0, mro, sent)
+            cntmap_ref[row] = tot
+            exmap_ref[row] = ex
+            mrowmap_ref[row] = mro
         for o in range(CH + 1, HP):
             cntmap_ref[o] = jnp.zeros((R, 128), jnp.int32)
             exmap_ref[o] = jnp.zeros((R, 128), jnp.int32)
@@ -843,10 +953,11 @@ def k1_scan2(wmat, tabq, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL,
              if bits_whole else
              pl.BlockSpec((SEG // 32, RB, 128), lambda rg, s: (s, rg, 0),
                           memory_space=pltpu.VMEM))
+    NL = min(max(md, 1), CH) if discover else 0
     kern = functools.partial(
         _k1_kernel2, B=B, H=H, steps=steps, SEG=SEG,
-        md=md, CH=CH, HP=HP, RB=RB, C0=C0, C1=C1, NS=NS, discover=discover,
-        bits_whole=bits_whole)
+        md=md, CH=CH, HP=HP, RB=RB, C0=C0, C1=C1, NS=NS, NL=NL,
+        discover=discover, bits_whole=bits_whole)
     return pl.pallas_call(
         kern,
         grid=(RG, S),
@@ -885,8 +996,10 @@ def k1_scan2(wmat, tabq, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL,
             pltpu.VMEM((CH, RB, 128), jnp.int32),        # cntC
             pltpu.VMEM((CH, RB, 128), jnp.int32),        # recC
             pltpu.VMEM((CH, RB, 128), jnp.int32),        # cumMC
-            pltpu.VMEM((SEG // 2, RB, 128), jnp.int32),  # v_scr
+            pltpu.VMEM((SEG // 2, RB, 128), jnp.int32),  # node_scr
             pltpu.VMEM((SEG // 2, RB, 128), jnp.int32),  # cum_scr
+            pltpu.VMEM((SEG // 2, max(NL, 1), RB, 128), jnp.int32),  # ldr
+            pltpu.VMEM((SEG // 2, max(NL, 1), RB, 128), jnp.int32),  # lcnt
         ],
         interpret=interpret,
     )(tabq, lim2, wmat)

@@ -1,5 +1,6 @@
-"""HW timing of the device-encoder kernels (E1 pack + E2 compaction),
-fenced + amortized, matching the DESIGN.md encoder table protocol.
+"""HW timing of the device encoder: the E1+E2 kernel pair AND the
+full fused program (E1 -> E2 -> shift -> E3, payload granules in HBM),
+fenced, two-batch differenced (the relay round-trip varies 23-36 ms).
 
 Usage: python scripts/hw_encode.py [corpus ...]
 """
@@ -73,18 +74,38 @@ def main():
             denseT = pe.e2_compact(granT, gvalT, G=G, rows_p=rows_p, ORP=ORP)
             return denseT[0, 0] + cnt2[0, 0]  # scalar fence
 
-        out = kernels(data3, lo_j, hi_j)
-        np.asarray(out)
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            for _ in range(10):
-                out = kernels(data3, lo_j, hi_j)
+        total_bits = int(hist @ length.astype(np.int64))
+        n_granules = -(-total_bits // 16)
+        ORPW = ORP // 128
+        NROWS = (-(-n_granules // 128) + ORPW + 8) // 8 * 8
+
+        def full(data3, lo_j, hi_j):
+            out2, cnt2, fence = pe.encode_program(
+                data3, lo_j, hi_j, nval_j, K=K, G=G, SEG=SEG, rows_p=rows_p,
+                ORP=ORP, ORPW=ORPW, NROWS=NROWS)
+            return fence
+
+        def timed(fn):
+            out = fn(data3, lo_j, hi_j)
             np.asarray(out).reshape(-1)[:1]
-            ts.append((time.perf_counter() - t0 - fl) / 10)
-        t = min(ts)
+
+            def batch(k):
+                t0 = time.perf_counter()
+                for _ in range(k):
+                    o = fn(data3, lo_j, hi_j)
+                np.asarray(o).reshape(-1)[:1]
+                return time.perf_counter() - t0
+
+            la = min(batch(10) for _ in range(6))
+            lb = min(batch(30) for _ in range(6))
+            return max(lb - la, 1e-9) / 20
+
+        t = timed(kernels)
         print(f"{c}: E1+E2 {t*1e3:.3f} ms  -> {N/t/1e9:.2f} GB/s "
               f"(G={G} K={K} ORP={ORP})", flush=True)
+        tf = timed(full)
+        print(f"{c}: full  {tf*1e3:.3f} ms  -> {N/tf/1e9:.2f} GB/s "
+              f"(NROWS={NROWS})", flush=True)
 
 
 if __name__ == "__main__":

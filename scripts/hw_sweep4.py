@@ -23,16 +23,23 @@ def floor_s(reps=10):
 
 
 def timeit(fn, fence, floor, K=20, trials=7):
+    """Two-batch differencing: per-run time = (T(3K) - T(K)) / 2K, so the
+    relay's per-fence round-trip (which varies 23-36 ms between batches)
+    cancels instead of being subtracted as a separately-measured floor."""
+    del floor
     out = fn()
     np.asarray(fence(out)).reshape(-1)[:1]
-    ts = []
-    for _ in range(trials):
+
+    def batch(k):
         t0 = time.perf_counter()
-        for _ in range(K):
-            out = fn()
-        np.asarray(fence(out)).reshape(-1)[:1]
-        ts.append((time.perf_counter() - t0 - floor) / K)
-    return min(ts), out
+        for _ in range(k):
+            o = fn()
+        np.asarray(fence(o)).reshape(-1)[:1]
+        return time.perf_counter() - t0
+
+    lo = min(batch(K) for _ in range(trials))
+    hi = min(batch(3 * K) for _ in range(trials))
+    return max(hi - lo, 1e-9) / (2 * K), out
 
 
 def main():
