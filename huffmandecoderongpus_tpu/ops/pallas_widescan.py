@@ -99,6 +99,12 @@ CELL = 4
 
 MAX_STATES_WIDE = 1023  # LaneDFA STATE_MASK bound; wide entries hold 15 bits
 
+#: follower chains per gated candidate region: a region stays live until
+#: its LAST chain resolves across all RB*128 lanes, so the straggler tail
+#: costs one region width — smaller groups pay more scalar gates but
+#: strand less vector work behind each straggler (swept on kjv, round 4)
+GROUP_W = 6
+
 
 # ---------------------------------------------------------------------------
 # Table packing
@@ -647,8 +653,8 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
     if discover:  # indexed lanes all start at codeword boundaries:
         for p in range(mdg):  # no candidate chains at all
             rows = [r for r in range(NL + 1, CH + 1) if (r - 1) % mdg == p]
-            for j in range(0, len(rows), 6):
-                sub = rows[j:j + 6]
+            for j in range(0, len(rows), GROUP_W):
+                sub = rows[j:j + GROUP_W]
                 if sub:
                     GROUPS.append((len(SROWS), sub[0], len(sub)))
                     SROWS.extend(sub)
@@ -1406,6 +1412,18 @@ def _k4_kernel(sym_ref, val_ref, out_ref, *, cells_p, cells_pp, ORP, RT):
             wc = (cpacks[w // 3][:, 127:128] >> (10 * (w % 3))) & 1023
             wpre.append(wpre[-1] + wc)
         max_cnt = jnp.max(wpre[CW])
+        # per-window scalar bounds + a (128, 128) wpre matrix: the
+        # out-window loop's window bookkeeping is then CW-INVARIANT —
+        # q counts only the <=2-3 windows whose boundary crosses this
+        # out-window (the rest fold into a scalar base / are skipped),
+        # wsel is ONE lane gather, and the packed-cum/nibble/symbol
+        # fetches gate per pack on q's scalar range (round 4; the
+        # previous CW-linear select chains made large-B lane plans pay
+        # ~2x in K4, blocking the candidate-tail-vs-B tradeoff)
+        wmax = [jnp.max(wpre[w]) for w in range(CW)]
+        wmin = [jnp.min(wpre[w]) for w in range(CW)]
+        wmat = jnp.concatenate(
+            wpre[:CW] + [jnp.zeros((128, 128 - CW), jnp.int32)], axis=1)
 
         for oc in range(ORP // 128):
             # out windows past every lane's count hold only masked-off
@@ -1414,29 +1432,54 @@ def _k4_kernel(sym_ref, val_ref, out_ref, *, cells_p, cells_pp, ORP, RT):
             @pl.when(max_cnt > oc * 128)
             def _ow(oc=oc):
                 i_vec = iota + oc * 128      # 0-based global rank
-                q = jnp.zeros((128, 128), jnp.int32)
-                wsel = jnp.zeros((128, 128), jnp.int32)
-                for w in range(1, CW):
-                    ge = i_vec >= jnp.broadcast_to(wpre[w], (128, 128))
-                    q = q + ge.astype(jnp.int32)
-                    wsel = jnp.where(
-                        ge, jnp.broadcast_to(wpre[w], (128, 128)), wsel)
-                # pack index + field shift of each element's window
-                qp3 = jnp.zeros((128, 128), jnp.int32)
-                for w in range(3, CW, 3):
-                    qp3 = qp3 + (q >= w).astype(jnp.int32)
+                if CW <= 4:
+                    # few windows: the plain compare chain is cheaper
+                    # than any scalar gating (lax.cond costs real issue
+                    # time per region — measured round 4)
+                    q = jnp.zeros((128, 128), jnp.int32)
+                    wsel = jnp.zeros((128, 128), jnp.int32)
+                    for w in range(1, CW):
+                        ge = i_vec >= jnp.broadcast_to(wpre[w], (128, 128))
+                        q = q + ge.astype(jnp.int32)
+                        wsel = jnp.where(
+                            ge, jnp.broadcast_to(wpre[w], (128, 128)), wsel)
+                else:
+                    # many windows (large-B lane plans): fold statically
+                    # out-of-range boundaries into a scalar base, compare
+                    # only the 2-3 crossing ones, and gather wsel
+                    q = jnp.zeros((128, 128), jnp.int32)
+                    qbase = jnp.int32(0)
+                    for w in range(1, CW):
+                        lo_all = wmax[w] <= oc * 128
+                        hi_none = wmin[w] > oc * 128 + 127
+                        qbase = qbase + lo_all.astype(jnp.int32)
+                        q = jax.lax.cond(
+                            lo_all | hi_none, lambda q: q,
+                            lambda q, w=w: q + (i_vec >= jnp.broadcast_to(
+                                wpre[w], (128, 128))).astype(jnp.int32), q)
+                    q = q + qbase
+                    wsel = jnp.take_along_axis(wmat, q, axis=1)
+                qp3 = q // 3
                 shc = (q - 3 * qp3) * 10
-                qp8 = jnp.zeros((128, 128), jnp.int32)
-                for w in range(8, CW, 8):
-                    qp8 = qp8 + (q >= w).astype(jnp.int32)
-                shn = (q - 8 * qp8) * 4
+                qp8 = q >> 3
+                shn = (q & 7) * 4
+                qmin = jnp.min(q)
+                qmax = jnp.max(q)
 
-                def selp(packs, qp, idx):
-                    g = jnp.take_along_axis(packs[0], idx, axis=1)
-                    for pi in range(1, len(packs)):
-                        g = jnp.where(
-                            qp == pi,
-                            jnp.take_along_axis(packs[pi], idx, axis=1), g)
+                def selp(packs, qp, idx, d):
+                    if len(packs) == 1:  # no gating, no select: 1 gather
+                        return jnp.take_along_axis(packs[0], idx, axis=1)
+                    # gate each pack's gather on q's scalar range: one
+                    # out-window's ranks usually touch 1-2 packs
+                    g = jnp.zeros((128, 128), jnp.int32)
+                    for pi in range(len(packs)):
+                        g = jax.lax.cond(
+                            (qmin // d <= pi) & (qmax // d >= pi),
+                            lambda g, pi=pi: jnp.where(
+                                qp == pi,
+                                jnp.take_along_axis(packs[pi], idx,
+                                                    axis=1), g),
+                            lambda g: g, g)
                     return g
 
                 want = i_vec - wsel + 1      # 1-based in-window rank
@@ -1448,26 +1491,24 @@ def _k4_kernel(sym_ref, val_ref, out_ref, *, cells_p, cells_pp, ORP, RT):
                 t = 64
                 while t:
                     npos = pos + t
-                    c = (selp(cpacks, qp3, npos - 1) >> shc) & 1023
+                    c = (selp(cpacks, qp3, npos - 1, 3) >> shc) & 1023
                     take = c < want
                     pos = jnp.where(take, npos, pos)
                     cbelow = jnp.where(take, c, cbelow)
                     t >>= 1
-                nibg = (selp(npacks, qp8, pos) >> shn) & 15
-                # gated per-window symbol fetch: one out-window's ranks
-                # usually span 1-2 of the CW cell windows, so each
-                # window's gather runs only when some rank lands in it
-                # (a gather costs ~5.6x an ALU op; round 4)
-                qmin = jnp.min(q)
-                qmax = jnp.max(q)
-                cell = jnp.zeros((128, 128), jnp.int32)
-                for w in range(CW):
-                    cell = jax.lax.cond(
-                        (qmin <= w) & (qmax >= w),
-                        lambda c, w=w: jnp.where(
-                            q == w,
-                            jnp.take_along_axis(syms[w], pos, axis=1), c),
-                        lambda c: c, cell)
+                nibg = (selp(npacks, qp8, pos, 8) >> shn) & 15
+                if CW == 1:
+                    cell = jnp.take_along_axis(syms[0], pos, axis=1)
+                else:
+                    cell = jnp.zeros((128, 128), jnp.int32)
+                    for w in range(CW):
+                        cell = jax.lax.cond(
+                            (qmin <= w) & (qmax >= w),
+                            lambda c, w=w: jnp.where(
+                                q == w,
+                                jnp.take_along_axis(syms[w], pos, axis=1),
+                                c),
+                            lambda c: c, cell)
                 q1 = nibg & 1
                 q2 = q1 + ((nibg >> 1) & 1)
                 q3 = q2 + ((nibg >> 2) & 1)

@@ -13,6 +13,7 @@ from huffmandecoderongpus_tpu.ops import pallas_oneshot as ons
 from huffmandecoderongpus_tpu.ops import pallas_widescan as ws
 
 
+@pytest.mark.interpret
 def test_oneshot_text_like(rng):
     probs = np.array([0.35, 0.2, 0.12, 0.1, 0.08, 0.06, 0.05, 0.04])
     raw = rng.choice(np.arange(8, dtype=np.uint8), size=20000,

@@ -140,7 +140,8 @@ def test_lane_sharded_pallas_interpret(paper1):
     np.testing.assert_array_equal(out, paper1.ucd)
 
 
-@pytest.mark.parametrize("n_dev", [2, 4])
+@pytest.mark.parametrize("n_dev", [
+    2, pytest.param(4, marks=pytest.mark.interpret)])
 def test_lane_sharded_wide_paper1(paper1, n_dev):
     # widescan shard bodies (chunked Pallas kernels, interpret on CPU):
     # dense bytes come back sharded and must splice to the exact corpus

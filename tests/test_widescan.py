@@ -108,6 +108,7 @@ def test_widescan_random_bytes(rng):
     np.testing.assert_array_equal(out, raw)
 
 
+@pytest.mark.interpret
 def test_widescan_text_like(rng):
     # skewed alphabet -> short codes, small min depth, text-like density
     probs = np.array([0.35, 0.2, 0.12, 0.1, 0.08, 0.06, 0.05, 0.04])
@@ -334,3 +335,17 @@ def test_pack_pair_table_wide_semantics(rng):
             else:
                 assert (e16 & 0x8000) == 0
                 assert e16 == (ref & STATE_MASK)
+
+
+@pytest.mark.interpret
+def test_widescan_long_lanes_many_windows(rng):
+    # few long lanes -> many K4 cell windows (CW ~ 6) and out-windows:
+    # exercises the CW-invariant window bookkeeping (scalar-gated packs,
+    # gathered wsel, q-division field shifts; round 4)
+    probs = np.array([0.3, 0.2, 0.12, 0.1, 0.08, 0.06, 0.05, 0.04,
+                      0.03, 0.02])
+    raw = rng.choice(np.arange(10, dtype=np.uint8), size=600000,
+                     p=probs / probs.sum()).astype(np.uint8)
+    hf = encode_bytes(raw)
+    out = decode_widescan(hf, lanes=512, interpret=True)
+    np.testing.assert_array_equal(out, raw)
