@@ -28,16 +28,23 @@ def floor_s(reps=10):
 
 
 def timeit(fn, fence, floor, K=10, trials=5):
+    """Two-batch differencing (K vs 3K dispatches per fence): the relay's
+    per-fence round-trip varies 23-36 ms between batches, so differencing
+    cancels it instead of subtracting a separately measured floor."""
+    del floor
     out = fn()
     np.asarray(fence(out)).reshape(-1)[:1]  # warm/compile
-    ts = []
-    for _ in range(trials):
+
+    def batch(k):
         t0 = time.perf_counter()
-        for _ in range(K):
-            out = fn()
-        np.asarray(fence(out)).reshape(-1)[:1]
-        ts.append((time.perf_counter() - t0 - floor) / K)
-    return min(ts)
+        for _ in range(k):
+            o = fn()
+        np.asarray(fence(o)).reshape(-1)[:1]
+        return time.perf_counter() - t0
+
+    lo = min(batch(K) for _ in range(trials))
+    hi = min(batch(3 * K) for _ in range(trials))
+    return max(hi - lo, 1e-9) / (2 * K)
 
 
 def main():
@@ -126,7 +133,15 @@ def main():
             bits3, tabw, lim2, Rg=p["Rg"], NG=p["NG"], ORP=p["ORP"],
             C0=st["C0"], C1=st["C1"], NS=st["NS"], chunk2=st["chunk2"], **kw)
 
+    @jax.jit
+    def staging_only(bits3):
+        m = ws.words_matrix_device(bits3, -(-p["steps_p"] // 32))
+        return m[0, 0, 0]
+
     b3, tw, l2 = st["words"], st["tabw"], st["lim2"]
+    t0s = timeit(lambda: staging_only(b3), lambda o: o, fl)
+    print(f"staging only: {t0s*1e3:.3f} ms  (words_matrix_device transpose)",
+          flush=True)
     t1 = timeit(lambda: upto_k1(b3, tw, l2), lambda o: o, fl)
     print(f"K1          : {t1*1e3:.3f} ms", flush=True)
     t2 = timeit(lambda: upto_k2(b3, tw, l2), lambda o: o, fl)

@@ -22,7 +22,7 @@ def floor_s(reps=10):
     return min(ts)
 
 
-def timeit(fn, fence, floor, K=20, trials=7):
+def timeit(fn, fence, floor, K=10, trials=7):
     """Two-batch differencing: per-run time = (T(3K) - T(K)) / 2K, so the
     relay's per-fence round-trip (which varies 23-36 ms between batches)
     cancels instead of being subtracted as a separately-measured floor."""
