@@ -1,13 +1,17 @@
 """One-shot fused decoder: the WHOLE decode in a single Pallas kernel.
 
-A latency design point, built to test whether small streams are
-dispatch-bound.  Measured verdict (v5e, round 4): they are NOT in the
-amortized regime — back-to-back dispatches overlap their launch cost, so
-the pipelined 4-kernel program wins even on paper1 (62us vs 94us here;
-news 211us vs 422us — the 4-kernel grid also overlaps block DMA with
-compute, which this kernel's whole-VMEM blocks give up).  Kept in the
-decoder zoo as `lane_oneshot`: one launch, zero inter-kernel HBM traffic,
-and the measured answer to "why not fuse everything into one kernel".
+A latency design point for small streams.  Measured verdict (v5e,
+round 4, converged estimator): the amortized per-PROGRAM dispatch cost
+through this environment's relay is ~0.11 ms (a trivial jitted x+1
+measures the same), so sub-2 Mbit streams are program-dispatch-bound,
+not kernel-bound — and this kernel, being ONE dispatch end-to-end
+(v2 builds the halo'd word matrix in-kernel, so not even a staging
+transpose precedes it), wins there: paper1 0.119 ms vs 0.127 wide
+(at the dispatch floor — the decode adds ~0 measurable device time),
+news 0.272 vs 0.322.  Above ~3 Mbit the 4-kernel program's grid-level
+DMA/compute overlap wins (book2 0.397 vs 0.516).  `decode_widescan`
+routes on ONESHOT_MAX_BITS; also registered as the `lane_oneshot` zoo
+decoder.
 
 For streams whose entire working set fits VMEM (G <= 4096 lanes, a few
 MB of cells), this runs the full decode — main scan + self-sync candidate
@@ -54,13 +58,13 @@ from huffmandecoderongpus_tpu.ops.pallas_widescan import (
 )
 
 
-def _oneshot_kernel(tab_ref, lim_ref, bits_ref, out_ref, n_ref,
-                    sym, val, node0, cnt0, done0, exit0,
+def _oneshot_kernel(tab_ref, lim_ref, w2_ref, out_ref, n_ref,
+                    sym, val, wmat, node0, cnt0, done0, exit0,
                     nodeC, cntC, recC, cumMC, v_scr, cum_scr,
                     cntmap, exmap, mrowmap, EXT,
                     ent_scr, cut_scr, cutsl_scr, nodeF,
                     *, B, H, steps, SEG, md, CH, HP, R, C0, C1, NS,
-                    cells_p, ORP):
+                    cells_p, ORP, BW, steps_w):
     phase = pl.program_id(0)
     s = pl.program_id(1)
     S = pl.num_programs(1)
@@ -83,7 +87,7 @@ def _oneshot_kernel(tab_ref, lim_ref, bits_ref, out_ref, n_ref,
         """One 2-bit chunk step off the word rows: returns
         (emit, pos, sym32, node', rc, valid)."""
         jbit = s * SEG + 2 * lj2
-        wrow = bits_ref[jbit // 32]
+        wrow = wmat[jbit // 32]
         sh = jbit % 32
         b0 = (wrow >> sh) & 1
         b1 = (wrow >> (sh + 1)) & 1
@@ -118,6 +122,29 @@ def _oneshot_kernel(tab_ref, lim_ref, bits_ref, out_ref, n_ref,
             cntC[...] = zc
             recC[...] = zc
             cumMC[...] = zc
+            # in-kernel staging (round 4, oneshot v2): build the halo'd
+            # (steps_w, R, 128) word matrix from the (G, BW) lane words
+            # INSIDE the kernel — per-row-group 2D transposes (Mosaic
+            # lowers these natively) + lane-shifted halo rows — so the
+            # whole decode is ONE dispatch (cf. words_matrix_device,
+            # which costs the 4-kernel program a separate XLA pass).
+            for r in range(R):
+                wmat[0:BW, r, :] = w2_ref[r * 128:(r + 1) * 128, :].T
+            iota_c = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+            iota_r = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+            for hj in range(steps_w - BW):
+                # halo row BW+hj = words of the NEXT lane: lane g takes
+                # lane g+1's word hj (the last lane reads past the
+                # stream and gets 0, matching words_matrix_device)
+                t = wmat[hj]
+                sh = pltpu.roll(t, 127, axis=1)  # left-shift by 1 lane
+                if R > 1:
+                    nxt0 = pltpu.roll(t[:, 0:1], R - 1, axis=0)
+                    nxt0 = jnp.where(iota_r[:, 0:1] == R - 1, 0, nxt0)
+                else:
+                    nxt0 = jnp.zeros((R, 1), jnp.int32)
+                wmat[BW + hj] = jnp.where(
+                    iota_c == 127, jnp.broadcast_to(nxt0, (R, 128)), sh)
 
         lim_ok = (lim > s * SEG).astype(jnp.int32)
         glive = []
@@ -474,21 +501,27 @@ def _oneshot_kernel(tab_ref, lim_ref, bits_ref, out_ref, n_ref,
 def oneshot_program(w2, tabq, lim2, *, B, H, G, steps, steps_p, SEG, md,
                     C0, C1, NS, ORP, interpret=False):
     """Single-dispatch fused decode from lane payload words.  Returns
-    (denseT (G, ORP) u8, n (G,) i32, fence i32)."""
-    from huffmandecoderongpus_tpu.ops.pallas_widescan import (
-        words_matrix_device,
-    )
+    (denseT (G, ORP) u8, n (G,) i32, fence i32).
 
+    The (G, B/32) lane-word array feeds the kernel DIRECTLY — the halo'd
+    word matrix is built in-kernel (oneshot v2), so the whole decode is
+    literally one device dispatch.  This matters because the small-corpus
+    fixed cost is program-level dispatch overhead, not kernel compute
+    (DESIGN.md round-4 itemization)."""
     R = G // 128
     S = steps_p // SEG
     CH = max(H - 1, 1)
     HP = -(-(CH + 1) // 8) * 8
     cells_p = steps_p // md // CELL
     steps_w = -(-steps_p // 32)
-    wmat = words_matrix_device(w2, steps_w)
+    BW = B // 32
+    if steps_w - BW > BW:
+        raise ValueError("halo wider than a lane (steps_w - BW > BW); "
+                         "outside the one-shot envelope")
     kern = functools.partial(
         _oneshot_kernel, B=B, H=H, steps=steps, SEG=SEG, md=md, CH=CH,
-        HP=HP, R=R, C0=C0, C1=C1, NS=NS, cells_p=cells_p, ORP=ORP)
+        HP=HP, R=R, C0=C0, C1=C1, NS=NS, cells_p=cells_p, ORP=ORP,
+        BW=BW, steps_w=steps_w)
     denseT, n2 = pl.pallas_call(
         kern,
         grid=(2, S),
@@ -497,7 +530,7 @@ def oneshot_program(w2, tabq, lim2, *, B, H, G, steps, steps_p, SEG, md,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R, 128), lambda p, s: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((steps_w, R, 128), lambda p, s: (0, 0, 0),
+            pl.BlockSpec((G, BW), lambda p, s: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -513,6 +546,7 @@ def oneshot_program(w2, tabq, lim2, *, B, H, G, steps, steps_p, SEG, md,
         scratch_shapes=[
             pltpu.VMEM((cells_p, R, 128), jnp.int32),   # sym cells
             pltpu.VMEM((cells_p, R, 128), jnp.int32),   # val nibbles
+            pltpu.VMEM((steps_w, R, 128), jnp.int32),   # word matrix
             pltpu.VMEM((R, 128), jnp.int32),            # node0
             pltpu.VMEM((R, 128), jnp.int32),            # cnt0
             pltpu.VMEM((R, 128), jnp.int32),            # done0
@@ -533,7 +567,7 @@ def oneshot_program(w2, tabq, lim2, *, B, H, G, steps, steps_p, SEG, md,
             pltpu.VMEM((R, 128), jnp.int32),            # nodeF
         ],
         interpret=interpret,
-    )(tabq, lim2, wmat)
+    )(tabq, lim2, w2)
     n = n2.reshape(G)
     fence = jnp.sum(n) + denseT[0, 0].astype(jnp.int32)
     return denseT, n, fence
@@ -560,8 +594,12 @@ def oneshot_eligible(st) -> bool:
     HP = -(-(CH + 1) // 8) * 8
     cells_p = p["steps_p"] // md // CELL
     steps_w = -(-p["steps_p"] // 32)
+    BW = p["B"] // 32
+    if steps_w - BW > BW:  # halo wider than a lane (in-kernel staging)
+        return False
     words = (cells_p * 2 * R * 128          # sym + val
-             + steps_w * R * 128            # word matrix
+             + steps_w * R * 128            # word matrix scratch
+             + G * (-(-BW // 128) * 128)    # (G, BW) input, lane-padded
              + CH * 4 * R * 128             # candidate scratch
              + (p["SEG"] // 2) * 2 * R * 128  # v/cum
              + HP * 3 * R * 128             # maps

@@ -99,6 +99,14 @@ CELL = 4
 
 MAX_STATES_WIDE = 1023  # LaneDFA STATE_MASK bound; wide entries hold 15 bits
 
+#: below this many compressed bits, decode_widescan routes to the
+#: single-dispatch one-shot kernel when it fits VMEM (measured round 4,
+#: natural sub-4Mbit geometry: the per-program dispatch floor ~0.11 ms
+#: dominates small streams; the one-shot wins on paper1 (0.119 vs
+#: 0.127 ms) and news at ~2 Mbit (0.272 vs 0.322), loses book2 at 3
+#: (0.516 vs 0.397) — threshold between the two)
+ONESHOT_MAX_BITS = 1 << 21
+
 #: follower chains per gated candidate region: a region stays live until
 #: its LAST chain resolves across all RB*128 lanes, so the straggler tail
 #: costs one region width — smaller groups pay more scalar gates but
@@ -1666,8 +1674,13 @@ def _plan(bits: int, H: int, md: int, lanes=None, avg_len=None):
         # rows — news/paper1/book2 measured 15-40% faster at 4096 lanes
         # — so prefer >= 4096 lanes while each lane keeps a comfortable
         # bit count (the compaction that once penalized short lanes is
-        # now count-gated and cheap)
-        G = max(4096, min(G, 1 << 14))
+        # now count-gated and cheap).
+        # Round-4 re-sweep (after state-equality self-sync + in-kernel
+        # word staging): sub-4 Mbit streams now measure fastest at their
+        # natural size/500 geometry (news G=1024: 0.340 ms vs 0.373 at
+        # the 4096 floor; book2 G=1024/2048: 0.38-0.40 vs 0.447), so the
+        # 4096 floor applies only to big streams.
+        G = max(4096 if bits >= (1 << 22) else 1024, min(G, 1 << 14))
         while G > 1024 and bits // G < max(2 * SEG, 2 * H):
             G //= 2
         G = max(1024, G)
@@ -1760,11 +1773,16 @@ def decode_widescan(hf, lanes=None, check_size=True, interpret=False):
     Falls back to the round-1 Pallas path for tiny streams, trees beyond
     the wide quad-table limit (1023 internal states; full byte alphabets
     at 255 states stay on the fast path via chunked tables), or a lane
-    overflowing the dense output buffer.  (The single-dispatch one-shot
-    kernel, ops/pallas_oneshot.py, measured SLOWER than this pipelined
-    4-kernel program even on paper1 — back-to-back dispatches overlap
-    their launch cost, so small corpora are not launch-bound after all;
-    it stays registered as the `lane_oneshot` zoo decoder.)"""
+    overflowing the dense output buffer.
+
+    Streams under ONESHOT_MAX_BITS (~2 Mbit) route to the single-dispatch
+    one-shot kernel (ops/pallas_oneshot.py) when it fits VMEM: the round-4
+    dispatch-floor measurement showed the small-corpus cost is per-program
+    dispatch overhead (~0.11 ms/program on this environment's relay; a
+    trivial jitted x+1 costs the same), so one dispatch beats the 4-kernel
+    pipeline where device compute is small (paper1 0.119 vs 0.127 ms,
+    news 0.272 vs 0.322, same session) and loses above ~3 Mbit where
+    grid-level DMA/compute overlap dominates (book2 0.516 vs 0.397)."""
     def _fallback():
         from huffmandecoderongpus_tpu.ops.pallas_lanedfa import (
             decode_lanedfa_pallas,
@@ -1777,6 +1795,15 @@ def decode_widescan(hf, lanes=None, check_size=True, interpret=False):
         st = stage_widescan_inputs(hf, lanes=lanes)
     except EnvelopeError:
         return _fallback()
+    if hf.bits < ONESHOT_MAX_BITS:
+        from huffmandecoderongpus_tpu.ops import pallas_oneshot as _ons
+
+        if _ons.oneshot_eligible(st):
+            try:
+                return _ons.decode_oneshot_staged(
+                    hf, st, check_size=check_size, interpret=interpret)
+            except EnvelopeError:
+                pass  # lane overflow: fall through to the 4-kernel path
     p = st["plan"]
     G = p["G"]
     H, md = st["H"], st["md"]

@@ -22,10 +22,14 @@ def floor_s(reps=10):
     return min(ts)
 
 
-def timeit(fn, fence, floor, K=10, trials=7):
+def timeit(fn, fence, floor, K=10, trials=25):
     """Two-batch differencing: per-run time = (T(3K) - T(K)) / 2K, so the
     relay's per-fence round-trip (which varies 23-36 ms between batches)
-    cancels instead of being subtracted as a separately-measured floor."""
+    cancels instead of being subtracted as a separately-measured floor.
+    K and 3K batches INTERLEAVE (session drift hits both sides equally)
+    and trials is high enough that min() of each side's round-trip draw
+    converges — at 7 trials the residual was ±0.15 ms, swamping sub-0.3 ms
+    programs; 25 interleaved trials measured repeatable to ~±0.02 ms."""
     del floor
     out = fn()
     np.asarray(fence(out)).reshape(-1)[:1]
@@ -37,9 +41,11 @@ def timeit(fn, fence, floor, K=10, trials=7):
         np.asarray(fence(o)).reshape(-1)[:1]
         return time.perf_counter() - t0
 
-    lo = min(batch(K) for _ in range(trials))
-    hi = min(batch(3 * K) for _ in range(trials))
-    return max(hi - lo, 1e-9) / (2 * K), out
+    las, lbs = [], []
+    for _ in range(trials):
+        las.append(batch(K))
+        lbs.append(batch(3 * K))
+    return max(min(lbs) - min(las), 1e-9) / (2 * K), out
 
 
 def main():
