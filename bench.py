@@ -248,7 +248,9 @@ def main() -> None:
             once = time.perf_counter() - t0  # post-compile single run
             fast = once < 1.0
             KA, KB = (10, 30) if fast else (1, 3)
-            trials = 13 if best is None else 4
+            # 25 interleaved trials: the min round-trip draw of each batch
+            # size converges (~±0.02 ms residual; at 13 trials ±0.05-0.1)
+            trials = 25 if best is None else 4
             la, lb = [], []
             for _ in range(trials):
                 t0 = time.perf_counter()
