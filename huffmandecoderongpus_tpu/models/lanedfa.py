@@ -69,12 +69,13 @@ def lane_wide(hf, param=None) -> np.ndarray:
 @register("lane_oneshot", backend="pallas")
 def lane_oneshot(hf, param=None) -> np.ndarray:
     """Single-dispatch fused decode (ops/pallas_oneshot.py): the whole
-    program — scan+discovery, composition, fix, compaction — in ONE
-    pallas_call with VMEM-resident cells.  A latency design point: one
-    launch and zero inter-kernel HBM traffic, but it gives up the
-    4-kernel pipeline's grid-level DMA/compute overlap and measured
-    SLOWER than lane_wide amortized (paper1 94us vs 62us, v5e round 4);
-    kept in the zoo as the measured answer to "why not fuse everything".
+    program — in-kernel word staging, scan+discovery, composition, fix,
+    compaction — in ONE pallas_call with VMEM-resident cells.  The
+    small-stream latency winner: this environment's per-program dispatch
+    floor is ~0.11 ms, and one dispatch beats the 4-kernel pipeline
+    below ~2 Mbit (paper1 0.119 ms vs 0.127, news 0.272 vs 0.322, v5e
+    round 4); `lane_wide` auto-routes such streams here.  Above that the
+    4-kernel grid's DMA/compute overlap wins (book2 0.516 vs 0.397).
     Falls back to lane_wide outside its VMEM envelope."""
     import jax
 

@@ -1767,8 +1767,14 @@ def stage_widescan_inputs(hf, lanes=None):
                 NS=NS, tabw=tabw, words=jnp.asarray(w2), lim2=lim2)
 
 
-def decode_widescan(hf, lanes=None, check_size=True, interpret=False):
+def decode_widescan(hf, lanes=None, check_size=True, interpret=False,
+                    oneshot=None):
     """Wide-lane fused decode of a HuffFile to dense bytes.
+
+    ``oneshot``: None (default) routes sub-ONESHOT_MAX_BITS streams to
+    the single-dispatch kernel when VMEM-eligible — but only off the
+    interpreter, where the whole-program kernel is pathologically slow;
+    True forces the route (tests), False disables it.
 
     Falls back to the round-1 Pallas path for tiny streams, trees beyond
     the wide quad-table limit (1023 internal states; full byte alphabets
@@ -1795,7 +1801,9 @@ def decode_widescan(hf, lanes=None, check_size=True, interpret=False):
         st = stage_widescan_inputs(hf, lanes=lanes)
     except EnvelopeError:
         return _fallback()
-    if hf.bits < ONESHOT_MAX_BITS:
+    route = (oneshot if oneshot is not None
+             else (hf.bits < ONESHOT_MAX_BITS and not interpret))
+    if route:
         from huffmandecoderongpus_tpu.ops import pallas_oneshot as _ons
 
         if _ons.oneshot_eligible(st):

@@ -12,6 +12,18 @@ from huffmandecoderongpus_tpu.models.dfa import build_jump_dfa, build_lin_dfa
 SMALL = ["hello", "paper1"]
 DECODERS = sorted(all_decoders())
 
+# combos that cost >30s of Mosaic-interpreter time each: nightly
+# (RUN_SLOW=1) keeps them; the default gate covers the same kernels via
+# smaller dedicated tests (test_oneshot, test_widescan_oneshot_routing,
+# test_parallel's small sharded-wide case)
+_INTERPRET_HEAVY = {("lane_oneshot", "paper1"), ("lane_sharded_wide", "paper1"),
+                    ("lane_wide", "paper1")}
+MATRIX = [
+    pytest.param(d, n, marks=pytest.mark.interpret)
+    if (d, n) in _INTERPRET_HEAVY else (d, n)
+    for d in DECODERS for n in SMALL
+]
+
 
 def test_zoo_covers_reference_inventory():
     names = set(DECODERS)
@@ -32,8 +44,7 @@ def test_zoo_covers_reference_inventory():
     assert required <= names, f"missing: {required - names}"
 
 
-@pytest.mark.parametrize("name", SMALL)
-@pytest.mark.parametrize("decoder", DECODERS)
+@pytest.mark.parametrize("decoder,name", MATRIX)
 def test_every_decoder_every_small_corpus(decoder, name):
     d = get_decoder(decoder)
     td = corpus_data.load_test_data(name)

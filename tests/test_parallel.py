@@ -141,7 +141,8 @@ def test_lane_sharded_pallas_interpret(paper1):
 
 
 @pytest.mark.parametrize("n_dev", [
-    2, pytest.param(4, marks=pytest.mark.interpret)])
+    pytest.param(2, marks=pytest.mark.interpret),
+    pytest.param(4, marks=pytest.mark.interpret)])
 def test_lane_sharded_wide_paper1(paper1, n_dev):
     # widescan shard bodies (chunked Pallas kernels, interpret on CPU):
     # dense bytes come back sharded and must splice to the exact corpus
@@ -150,6 +151,12 @@ def test_lane_sharded_wide_paper1(paper1, n_dev):
     out = decode_lane_sharded_wide(paper1.cd, mesh=make_mesh(n_dev),
                                    lanes=1024)
     np.testing.assert_array_equal(out, paper1.ucd)
+
+
+# (no default-gate sharded-wide case: even a 6k-symbol stream costs
+# ~30-50s of interpret/compile; nightly RUN_SLOW=1 runs the paper1
+# cases above, and the driver's dryrun_multichip executes
+# decode_lane_sharded_wide on an 8-device mesh every round)
 
 
 def test_lane_sharded_wide_registry_fallback(hello):

@@ -33,7 +33,12 @@ def test_plan_levels():
     assert make_plan(24585561, 5504597, 19).levels == 23
 
 
-@pytest.mark.parametrize("name", SMALL)
+@pytest.mark.parametrize("name", [
+    "hello", "paper1",
+    # news/book2 cost 10-25s of host numpy each for the same code path:
+    # nightly only
+    pytest.param("news", marks=pytest.mark.slow),
+    pytest.param("book2", marks=pytest.mark.slow)])
 def test_numpy_pipeline_matches_ground_truth(name):
     td = corpus_data.load_test_data(name)
     out = speculative_decode_numpy(td.cd)

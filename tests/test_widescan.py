@@ -142,13 +142,28 @@ def test_widescan_two_symbol_alphabet(rng):
 
 
 def test_widescan_bad_header_raises(rng):
-    raw = rng.integers(0, 256, size=9000, dtype=np.uint8)
+    # small 8-symbol alphabet: the point is the size check, not the
+    # wide-table envelope (a 256-symbol stream here costs 2.5 min of
+    # interpreter time for no extra coverage)
+    raw = rng.integers(0, 8, size=3000, dtype=np.uint8)
     hf = encode_bytes(raw)
     import dataclasses
 
     bad = dataclasses.replace(hf, uncompressed_size=hf.uncompressed_size + 1)
     with pytest.raises(RuntimeError):
         decode_widescan(bad, lanes=1024, interpret=True)
+
+
+def test_widescan_oneshot_routing(rng):
+    # the sub-2Mbit auto-route goes to the single-dispatch kernel off
+    # the interpreter; under interpret it must be forced — decode both
+    # ways on a tiny stream and compare
+    raw = rng.integers(0, 8, size=1500, dtype=np.uint8)
+    hf = encode_bytes(raw)
+    out = decode_widescan(hf, lanes=512, interpret=True, oneshot=True)
+    np.testing.assert_array_equal(out, raw)
+    # the default (oneshot=None) must NOT route under interpret: the
+    # 4-kernel path is covered by every other widescan test
 
 
 @pytest.mark.interpret
@@ -206,14 +221,17 @@ def test_widescan_phase_locked_runs(rng):
     # wrong-parity candidate chains, deferring merges for hundreds of
     # bits — exercises the candidate late-exit resolution and the
     # adaptive full-length fix scan in the chunked kernels
-    base = np.tile(np.array([97, 98, 99, 100], dtype=np.uint8), 15000)
-    rare = rng.integers(0, 60000, size=60)
+    base = np.tile(np.array([97, 98, 99, 100], dtype=np.uint8), 3000)
+    rare = rng.integers(0, 12000, size=20)
     data = base.copy()
-    data[rare] = rng.choice(np.array([101, 102], dtype=np.uint8), size=60)
+    data[rare] = rng.choice(np.array([101, 102], dtype=np.uint8), size=20)
     hf = encode_bytes(data)
     dfa = build_lane_dfa(hf.tree)
     assert dfa.min_depth >= 2
-    out = decode_widescan(hf, lanes=1024, interpret=True)
+    # 512 lanes keep ~110 emission rows per lane, enough for merges to
+    # defer across many rows while costing 1/3 the interpreter time of
+    # the old 60k-symbol / 1024-lane shape
+    out = decode_widescan(hf, lanes=512, interpret=True)
     np.testing.assert_array_equal(out, data)
 
 
@@ -260,6 +278,7 @@ def test_widescan_indexed(rng):
     np.testing.assert_array_equal(out2, raw2)
 
 
+@pytest.mark.interpret
 def test_widescan_indexed_wide_table(rng):
     # indexed decode through the NS=2 wide-table branch (full-byte
     # alphabet, 255 internal states)
