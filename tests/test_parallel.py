@@ -174,7 +174,6 @@ def test_lane_sharded_wide_kjv_matches_unsharded(n_dev):
     output on kjv, and the per-shard dense counts sum to the header size
     (the role of the per-level convergence check, fastgpu.cu:245-261,
     that the one exit-map collective replaced)."""
-    from huffmandecoderongpus_tpu.ops.pallas_widescan import decode_widescan
     from huffmandecoderongpus_tpu.parallel.lane_sharded import (
         lane_sharded_wide_runner,
     )
@@ -189,9 +188,12 @@ def test_lane_sharded_wide_kjv_matches_unsharded(n_dev):
     assert int(np.asarray(total)[0]) == td.cd.uncompressed_size
     out, tot = materialize((denseT, n, total, _fence))
     assert tot == td.cd.uncompressed_size
+    # byte-equality against the corpus ground truth IS equivalence with
+    # the unsharded program (which the golden matrix pins to the same
+    # bytes); a literal decode_widescan(td.cd) here would need
+    # interpret=True off-TPU (Mosaic cannot compile on the CPU backend)
+    # and cost tens of interpreter-minutes for no extra information
     np.testing.assert_array_equal(out, td.ucd)
-    # and the unsharded flagship program agrees byte-for-byte
-    np.testing.assert_array_equal(out, decode_widescan(td.cd))
 
 
 @pytest.mark.xfail(
