@@ -27,7 +27,7 @@ def floor_s(reps=10):
     return min(ts)
 
 
-def timeit(fn, fence, floor, K=10, trials=5):
+def timeit(fn, fence, floor, K=10, trials=14):
     """Two-batch differencing (K vs 3K dispatches per fence): the relay's
     per-fence round-trip varies 23-36 ms between batches, so differencing
     cancels it instead of subtracting a separately measured floor."""
