@@ -53,6 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from huffmandecoderongpus_tpu.ops.pallas_widescan import (
     CELL,
+    EnvelopeError,
     _e_step2,
     _quad_word,
 )
@@ -516,8 +517,10 @@ def oneshot_program(w2, tabq, lim2, *, B, H, G, steps, steps_p, SEG, md,
     steps_w = -(-steps_p // 32)
     BW = B // 32
     if steps_w - BW > BW:
-        raise ValueError("halo wider than a lane (steps_w - BW > BW); "
-                         "outside the one-shot envelope")
+        # EnvelopeError (not ValueError): decode_oneshot_staged callers
+        # catch EnvelopeError for the 4-kernel fallback contract
+        raise EnvelopeError("halo wider than a lane (steps_w - BW > BW); "
+                            "outside the one-shot envelope")
     kern = functools.partial(
         _oneshot_kernel, B=B, H=H, steps=steps, SEG=SEG, md=md, CH=CH,
         HP=HP, R=R, C0=C0, C1=C1, NS=NS, cells_p=cells_p, ORP=ORP,

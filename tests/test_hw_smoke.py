@@ -31,10 +31,21 @@ from huffmandecoderongpus_tpu import data
 from huffmandecoderongpus_tpu.ops.pallas_widescan import decode_widescan
 from huffmandecoderongpus_tpu.ops.pallas_lanedfa import decode_lanedfa_pallas
 
+from huffmandecoderongpus_tpu.ops import pallas_oneshot as ons
+from huffmandecoderongpus_tpu.ops import pallas_widescan as ws0
+
 td = data.load_test_data("paper1")
+# paper1 is sub-ONESHOT_MAX_BITS: the default decode_widescan call on
+# hardware ROUTES to the single-dispatch one-shot kernel — assert the
+# route is live so this smoke actually covers that kernel on the chip
+# (round 5; previously only "paper1 decoded" was checked)
+assert td.cd.bits < ws0.ONESHOT_MAX_BITS
+assert ons.oneshot_eligible(ws0.stage_widescan_inputs(td.cd)), (
+    "paper1 fell out of the one-shot envelope; smoke no longer covers "
+    "the routed kernel")
 out = decode_widescan(td.cd)
 assert np.array_equal(out, td.ucd), "widescan mismatch on hardware"
-print("widescan OK", flush=True)
+print("widescan OK (one-shot routed)", flush=True)
 out = decode_lanedfa_pallas(td.cd)
 assert np.array_equal(out, td.ucd), "lanedfa_pallas mismatch on hardware"
 print("lanedfa_pallas OK", flush=True)
@@ -66,6 +77,30 @@ out1 = ws.decode_widescan(hf1, lanes=2048)
 assert np.array_equal(out1, raw1), "md=1 deep widescan mismatch on hardware"
 print("widescan md1-deep OK", flush=True)
 
+# one-shot envelope edge (round 5): the largest oneshot_eligible
+# geometry must COMPILE within scoped VMEM on the chip — an undercount
+# in the hand-summed VMEM word model (oneshot_eligible) becomes a
+# Mosaic OOM here, the failure class the CPU gate cannot see.  Same
+# construction as tests/test_oneshot.py::largest_oneshot_stream.
+probs = np.array([0.35, 0.2, 0.12, 0.1, 0.08, 0.06, 0.05, 0.04])
+redge = np.random.default_rng(0)
+raw_full = redge.choice(np.arange(8, dtype=np.uint8), size=1 << 20,
+                        p=probs / probs.sum()).astype(np.uint8)
+best = None
+for size in range(1 << 16, 1 << 20, 1 << 16):
+    rawe = raw_full[:size]
+    hfe2 = encode_bytes(rawe)
+    if hfe2.bits >= ws.ONESHOT_MAX_BITS:
+        break
+    ste = ws.stage_widescan_inputs(hfe2)
+    if ons.oneshot_eligible(ste):
+        best = (rawe, hfe2, ste)
+assert best is not None
+rawe, hfe2, ste = best
+oute = ons.decode_oneshot_staged(hfe2, ste)
+assert np.array_equal(oute, rawe), "one-shot envelope-edge mismatch"
+print("oneshot envelope-edge OK", flush=True)
+
 # device encoder (round 3 envelope): full 256-symbol alphabet +
 # device E3 placement, byte-identical to the host encoder
 from huffmandecoderongpus_tpu.ops.pallas_encode import encode_pallas
@@ -94,10 +129,11 @@ def test_pallas_kernels_on_hardware():
     assert proc.returncode == 0, (
         f"hardware smoke failed\nstdout:\n{proc.stdout}\n"
         f"stderr:\n{proc.stderr[-3000:]}")
-    assert "widescan OK" in proc.stdout
+    assert "widescan OK (one-shot routed)" in proc.stdout
     assert "lanedfa_pallas OK" in proc.stdout
     assert "widescan wide-table OK" in proc.stdout
     assert "widescan md1-deep OK" in proc.stdout
+    assert "oneshot envelope-edge OK" in proc.stdout
     assert "encode_pallas full-alphabet OK" in proc.stdout
 
 

@@ -158,8 +158,21 @@ def test_widescan_oneshot_routing(rng):
     # the sub-2Mbit auto-route goes to the single-dispatch kernel off
     # the interpreter; under interpret it must be forced — decode both
     # ways on a tiny stream and compare
-    raw = rng.integers(0, 8, size=1500, dtype=np.uint8)
+    from huffmandecoderongpus_tpu.ops import pallas_oneshot as ons
+    from huffmandecoderongpus_tpu.ops.pallas_widescan import (
+        stage_widescan_inputs,
+    )
+
+    # 9000 symbols: the 1500-symbol stream this test used through round 4
+    # was BELOW the widescan staging envelope (4500 bits < 1024*max(H,8)),
+    # so oneshot=True silently fell back and the kernel went unexercised —
+    # exactly the failure mode the eligibility assert below now catches
+    raw = rng.integers(0, 8, size=9000, dtype=np.uint8)
     hf = encode_bytes(raw)
+    # the route must actually be live for this geometry — otherwise
+    # oneshot=True would silently fall through to the 4-kernel path and
+    # this (default-gate) test would stop exercising the one-shot kernel
+    assert ons.oneshot_eligible(stage_widescan_inputs(hf, lanes=512))
     out = decode_widescan(hf, lanes=512, interpret=True, oneshot=True)
     np.testing.assert_array_equal(out, raw)
     # the default (oneshot=None) must NOT route under interpret: the
@@ -305,6 +318,34 @@ def test_widescan_high_symbols(rng):
     hf = encode_bytes(raw)
     out = decode_widescan(hf, lanes=1024, interpret=True)
     np.testing.assert_array_equal(out, raw)
+
+
+@pytest.mark.interpret
+def test_widescan_md1_phase_locked_runs(rng):
+    # adversarial md=1 self-sync (round 5): a dominant symbol gives code
+    # length 1 (md=1 -> the 1-bit kernels) and long periodic runs of
+    # deeper symbols phase-lock wrong-parity candidate chains, deferring
+    # merges — exercises the two-tier state-equality/leader machinery
+    # ported to the 1-bit path (_k1_kernel), incl. follower composition
+    # through the single md=1 leader
+    from huffmandecoderongpus_tpu.ops import pallas_widescan as ws
+
+    blocks = []
+    for _ in range(20):
+        blocks.append(np.full(600, 97, dtype=np.uint8))  # 'a' runs (md=1)
+        blocks.append(np.tile(np.array([120, 121], dtype=np.uint8), 300))
+    data = np.concatenate(blocks)
+    # a few very rare symbols deepen the tree so several follower chains
+    # exist beyond the one leader
+    rare = rng.integers(0, data.size, size=12)
+    data[rare] = (122 + np.arange(12) % 4).astype(np.uint8)
+    hf = encode_bytes(data)
+    dfa = build_lane_dfa(hf.tree)
+    assert dfa.min_depth == 1
+    st = ws.stage_widescan_inputs(hf, lanes=512)
+    assert not st["chunk2"]  # the 1-bit kernel path
+    out = decode_widescan(hf, lanes=512, interpret=True)
+    np.testing.assert_array_equal(out, data)
 
 
 @pytest.mark.interpret
