@@ -347,8 +347,17 @@ def _e_step2(e, NS, rc):
 def _k1_kernel(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
                cntmap_ref, exmap_ref, mrowmap_ref,
                node0, cnt0, done0, exit0, nodeC, cntC, recC, cumMC,
-               v_scr, cum_scr, *, B, H, steps, SEG, md, CH, HP, RB,
-               NS=1, bits_whole=False):
+               node_scr, cum_scr, ldr_scr, lcnt_scr,
+               *, B, H, steps, SEG, md, CH, HP, RB,
+               NS=1, NL=1, bits_whole=False):
+    """1-bit K1 with the same two-tier state-equality self-sync as the
+    chunked kernel (round 5; see _k1_kernel2's docstring): the main scan
+    stores its post-bit NODE per row, candidates resolve on state
+    equality (strictly earlier than the superseded emission-coincidence
+    test), and NL = min(md, CH) leader chains walk to their own
+    resolution publishing node+count per row so follower groups gate off
+    fast — deep md=1 trees (one dominant symbol over a byte alphabet)
+    get the same bounded adversarial tail as the md >= 2 path."""
     # grid = (row-groups, segments), segments innermost: the kernel walks
     # all segments of RB sublane rows of lanes before moving to the next
     # row group, so the VMEM working set is bounded by RB (not G/128) and
@@ -370,15 +379,37 @@ def _k1_kernel(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
         cumMC[...] = zc
 
     lim = lim_ref[...]
+    # Chain layout (cf. _k1_kernel2): leaders (start rows 1..NL, one per
+    # bit-phase residue class mod md) at scratch slots 0..NL-1, then
+    # follower groups (same-residue chains, sub-split to <= GROUP_W) —
+    # scratch index ci holds the chain starting at row SROWS[ci];
+    # candidate-map slot = start row (= the entry offset represented).
+    mdg = max(md, 1)
+    SROWS = list(range(1, NL + 1))
+    GROUPS = []  # follower groups: (scratch base, first start row, count)
+    for p_ in range(mdg):
+        rows = [r for r in range(NL + 1, CH + 1) if (r - 1) % mdg == p_]
+        for j in range(0, len(rows), GROUP_W):
+            sub = rows[j:j + GROUP_W]
+            if sub:
+                GROUPS.append((len(SROWS), sub[0], len(sub)))
+                SROWS.extend(sub)
     # candidate liveness for THIS segment, computed up front: recC holds
     # resolution through segment s-1, so the main pass can skip the
-    # v_scr/cum_scr stores (only the candidate pass reads them) in the
-    # post-tail segments where every chain is already resolved
-    live_any = jnp.int32(0)
+    # node_scr/cum_scr stores (only the candidate passes read them) in
+    # the post-tail segments where every chain is already resolved
     lim_ok = (lim > s * SEG).astype(jnp.int32)
-    for c in range(CH):
+    glive = []
+    live_any = jnp.int32(0)
+    for ci in range(NL):
         live_any = jnp.maximum(
-            live_any, jnp.max((1 - (recC[c] & 1)) * lim_ok))
+            live_any, jnp.max((1 - (recC[ci] & 1)) * lim_ok))
+    for (base, r0, n) in GROUPS:
+        lg = jnp.int32(0)
+        for ci in range(base, base + n):
+            lg = jnp.maximum(lg, jnp.max((1 - (recC[ci] & 1)) * lim_ok))
+        glive.append(lg)
+        live_any = jnp.maximum(live_any, lg)
 
     UNROLL = 8 if md == 1 else 4 * md  # one/two packed cells per body
 
@@ -414,7 +445,14 @@ def _k1_kernel(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
                             done = done | exiting
                         cnt = cnt + emit1
                         if store_scr:
-                            v_scr[lj] = emit1
+                            # candidates merge on STATE EQUALITY with the
+                            # 0-chain (node_scr); -1 marks rows past the
+                            # 0-chain's exit so post-exit coincidences
+                            # resolve via `late` instead
+                            if track_exit:
+                                node_scr[lj] = jnp.where(done > 0, -1, node)
+                            else:
+                                node_scr[lj] = node
                             cum_scr[lj] = cnt
                         # non-emitting entries carry sym == 0, so the cell
                         # word accumulates by OR; byte cs of the cell is
@@ -452,66 +490,161 @@ def _k1_kernel(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
     def _light_n():
         main_block(False, False)
 
-    @pl.when(live_any > 0)
-    def _cands():
-        # all CH chains batched: the gather runs 2D as (CH*R, 128) (the
-        # Mosaic dynamic_gather shape), every other op runs 3D
-        # (CH, R, 128) with the per-bit operands kept (1, R, 128) so the
-        # compiler broadcasts vregs instead of materializing CH copies;
-        # chain c's start row (c+1) gates via a row iota
-        chain_of = jax.lax.broadcasted_iota(jnp.int32, (CH, R, 128), 0)
+    def bit_step(node, rec, srow, lj, NCH):
+        """Shared 1-bit walk step for a candidate batch (NCH, R, 128):
+        the gather runs 2D as (NCH*R, 128) (the Mosaic dynamic_gather
+        shape), every other op runs 3D with the per-bit operands kept
+        (1, R, 128) so the compiler broadcasts vregs instead of
+        materializing NCH copies.  Returns
+        (emit, nst, valid, started, alive, j)."""
+        j = s * SEG + lj
+        boff = j if bits_whole else lj
+        wrow = bits_ref[boff // 32]
+        b = ((wrow >> (boff % 32)) & 1)[None]
+        valid = (lim > j)[None]
+        w = _pair_word(tab_ref, NS, NCH * R,
+                       node.reshape(NCH * R, 128)).reshape(NCH, R, 128)
+        e = (w >> (b << 4)) & 0xFFFF
+        e = jnp.where(valid, e, 0)
+        emit1, _sym, nst = _e1_fields(e, NS)
+        alive = 1 - (rec & 1)
+        started = jnp.where(j >= srow, 1, 0)
+        return emit1, nst, valid, started, alive, j
+
+    # ---- leader pass: NL chains, one per residue, walk to their OWN
+    # resolution but keep counting raw (followers compose through them) --
+    def _leaders():
+        srow = jax.lax.broadcasted_iota(jnp.int32, (NL, R, 128), 0) + 1
 
         def body(i, carry):
             node, cnt, rec, cum = carry
-            lj = i
-            j = s * SEG + lj
-            boff = j if bits_whole else lj
-            wrow = bits_ref[boff // 32]
-            b = ((wrow >> (boff % 32)) & 1)[None]
-            valid = (lim > j)[None]
-            v0 = v_scr[lj][None]
-            cum0 = cum_scr[lj][None]
-            late = jnp.where(j + 1 >= B, 1, 0)
-            rec_val = (v0 << 1) + ((j << 2) | 1)
-            alive = (1 - (rec & 1)) * jnp.where(j >= chain_of + 1, 1, 0)
-            w = _pair_word(tab_ref, NS, CH * R,
-                           node.reshape(CH * R, 128)).reshape(CH, R, 128)
-            e = (w >> (b << 4)) & 0xFFFF
-            e = jnp.where(valid, e, 0)
-            emit1, _sym, nst = _e1_fields(e, NS)
-            node = jnp.where(alive > 0, nst, node)
-            em = emit1 * alive
+            emit1, nst, valid, started, alive, j = bit_step(
+                node, rec, srow, i, NL)
+            # leaders walk and count PAST their resolution (started-gated
+            # only): follower deltas need the raw trajectory count
+            node = jnp.where(started > 0, nst, node)
+            em = emit1 * started
             cnt = cnt + em
-            resolve = (em * (v0 | late)) > 0
-            rec = jnp.where(resolve, rec_val, rec)
-            cum = jnp.where(resolve, jnp.broadcast_to(cum0, cum.shape), cum)
+            # publish the trajectory for followers; a late-resolved
+            # (exited) leader publishes -1 so nobody merges into it
+            lstop = (rec & 1) * (1 - ((rec >> 1) & 1))
+            ldr_scr[i] = jnp.where(lstop > 0, -1, node)
+            lcnt_scr[i] = cnt
+            nz = node_scr[i][None]
+            cum0 = cum_scr[i][None]
+            m0 = ((alive * started) > 0) & valid & (node == nz)
+            late = ((em * alive) > 0) & (j + 1 >= B)
+            rec_m = (j << 3) | 2 | 1
+            rec_l = (j << 3) | 1
+            rec = jnp.where(m0, rec_m, jnp.where(late, rec_l, rec))
+            cum = jnp.where(m0, jnp.broadcast_to(cum0, cum.shape) - cnt,
+                            jnp.where(late, cnt, cum))
             return node, cnt, rec, cum
 
-        init = (nodeC[...], cntC[...], recC[...], cumMC[...])
+        init = (nodeC[0:NL], cntC[0:NL], recC[0:NL], cumMC[0:NL])
         node, cnt, rec, cum = jax.lax.fori_loop(0, SEG, body, init,
                                                 unroll=SEG)
-        nodeC[...] = node
-        cntC[...] = cnt
-        recC[...] = rec
-        cumMC[...] = cum
+        nodeC[0:NL] = node
+        cntC[0:NL] = cnt
+        recC[0:NL] = rec
+        cumMC[0:NL] = cum
 
-    # ---- epilogue: assemble per-lane candidate maps -----------------------
+    if NL:
+        pl.when(live_any > 0)(_leaders)
+
+    # ---- follower pass (one gated region per chain group) -----------------
+    for gi, (base, r0g, CHg) in enumerate(GROUPS):
+        c0g, c1g = base, base + CHg
+        lp = (r0g - 1) % mdg  # this group's residue leader slot
+
+        @pl.when(glive[gi] > 0)
+        def _cands(c0g=c0g, c1g=c1g, CHg=CHg, r0g=r0g, lp=lp):
+            # start row of scratch chain ci = r0g + mdg*(ci - base)
+            srow = jax.lax.broadcasted_iota(
+                jnp.int32, (CHg, R, 128), 0) * mdg + r0g
+
+            def body(i, carry):
+                node, cnt, rec, cum = carry
+                emit1, nst, valid, started, alive, j = bit_step(
+                    node, rec, srow, i, CHg)
+                node = jnp.where(alive * started > 0, nst, node)
+                em = emit1 * alive * started
+                cnt = cnt + em
+                nz = node_scr[i][None]
+                nl = ldr_scr[i, lp][None]
+                cum0 = cum_scr[i][None]
+                lcnt = lcnt_scr[i, lp][None]
+                ok = ((alive * started) > 0) & valid
+                m0 = ok & (node == nz)
+                mL = ok & (node == nl) & ~m0
+                late = (em > 0) & (j + 1 >= B)
+                rec_m0 = (j << 3) | 2 | 1
+                rec_mL = (j << 3) | 4 | 1
+                rec_l = (j << 3) | 1
+                rec = jnp.where(m0, rec_m0, jnp.where(
+                    mL, rec_mL, jnp.where(late, rec_l, rec)))
+                cum = jnp.where(
+                    m0, jnp.broadcast_to(cum0, cum.shape) - cnt,
+                    jnp.where(mL, jnp.broadcast_to(lcnt, cum.shape) - cnt,
+                              jnp.where(late, cnt, cum)))
+                return node, cnt, rec, cum
+
+            init = (nodeC[c0g:c1g], cntC[c0g:c1g],
+                    recC[c0g:c1g], cumMC[c0g:c1g])
+            node, cnt, rec, cum = jax.lax.fori_loop(0, SEG, body, init,
+                                                    unroll=SEG)
+            nodeC[c0g:c1g] = node
+            cntC[c0g:c1g] = cnt
+            recC[c0g:c1g] = rec
+            cumMC[c0g:c1g] = cum
+
+    # ---- epilogue: leaders first, then followers compose through them -----
     @pl.when(s == pl.num_programs(1) - 1)
     def _epilogue():
-        cntmap_ref[0] = cnt0[...]
+        cnt0t = cnt0[...]
+        sent = jnp.full((R, 128), steps, jnp.int32)
+        cntmap_ref[0] = cnt0t
         exmap_ref[0] = exit0[...]
         mrowmap_ref[0] = jnp.full((R, 128), -1, jnp.int32)
-        for c in range(CH):
-            rec = recC[c]
-            mrg = (rec >> 1) & 1
-            mrow = rec >> 2
-            cnt_tot = cntC[c] + mrg * (cnt0[...] - cumMC[c])
-            ex_tot = jnp.where(mrg > 0, exit0[...], mrow + 1 - B)
-            cntmap_ref[c + 1] = cnt_tot
-            exmap_ref[c + 1] = jnp.where(
-                (rec & 1) > 0, ex_tot, jnp.zeros((R, 128), jnp.int32))
-            mrowmap_ref[c + 1] = jnp.where(
-                mrg > 0, mrow, jnp.full((R, 128), steps, jnp.int32))
+        Ltot, Lex, Lmrow = [], [], []
+        for ci in range(NL):
+            rec = recC[ci]
+            res = rec & 1
+            mrg = (rec >> 1) & 1  # kind 1 = merged with the 0-chain
+            mrow = rec >> 3
+            # merged: 0-chain total minus the stored delta; late: total
+            # stored at the exit emission (the raw count keeps growing
+            # into the halo); unresolved: the raw count (stream ended)
+            tot = jnp.where(mrg > 0, cnt0t - cumMC[ci], cumMC[ci])
+            tot = jnp.where(res > 0, tot, cntC[ci])
+            ex = jnp.where(mrg > 0, exit0[...], mrow + 1 - B)
+            ex = jnp.where(res > 0, ex, 0)
+            mro = jnp.where((res > 0) & (mrg > 0), mrow, sent)
+            cntmap_ref[ci + 1] = tot
+            exmap_ref[ci + 1] = ex
+            mrowmap_ref[ci + 1] = mro
+            Ltot.append(tot)
+            Lex.append(ex)
+            Lmrow.append(mro)
+        for ci in range(NL, len(SROWS)):
+            row = SROWS[ci]
+            lp = (row - 1) % mdg
+            rec = recC[ci]
+            res = rec & 1
+            kind = (rec >> 1) & 3  # 0 late, 1 merged-0, 2 merged-leader
+            mrow = rec >> 3
+            tot = jnp.where(kind == 1, cnt0t - cumMC[ci], cumMC[ci])
+            tot = jnp.where(kind == 2, Ltot[lp] - cumMC[ci], tot)
+            tot = jnp.where(res > 0, tot, cntC[ci])
+            ex = jnp.where(kind == 1, exit0[...], mrow + 1 - B)
+            ex = jnp.where(kind == 2, Lex[lp], ex)
+            ex = jnp.where(res > 0, ex, 0)
+            mro = jnp.where(kind == 1, mrow, sent)
+            mro = jnp.where(kind == 2, jnp.maximum(mrow, Lmrow[lp]), mro)
+            mro = jnp.where(res > 0, mro, sent)
+            cntmap_ref[row] = tot
+            exmap_ref[row] = ex
+            mrowmap_ref[row] = mro
         for o in range(CH + 1, HP):
             cntmap_ref[o] = jnp.zeros((R, 128), jnp.int32)
             exmap_ref[o] = jnp.zeros((R, 128), jnp.int32)
@@ -548,9 +681,10 @@ def k1_scan(wmat, tabw, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL, md,
              if bits_whole else
              pl.BlockSpec((SEG // 32, RB, 128), lambda rg, s: (s, rg, 0),
                           memory_space=pltpu.VMEM))
+    NL = min(max(md, 1), CH)
     kern = functools.partial(
         _k1_kernel, B=B, H=H, steps=steps, SEG=SEG,
-        md=md, CH=CH, HP=HP, RB=RB, NS=NS, bits_whole=bits_whole)
+        md=md, CH=CH, HP=HP, RB=RB, NS=NS, NL=NL, bits_whole=bits_whole)
     return pl.pallas_call(
         kern,
         grid=(RG, S),
@@ -589,8 +723,10 @@ def k1_scan(wmat, tabw, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL, md,
             pltpu.VMEM((CH, RB, 128), jnp.int32),      # cntC
             pltpu.VMEM((CH, RB, 128), jnp.int32),      # recC
             pltpu.VMEM((CH, RB, 128), jnp.int32),      # cumMC
-            pltpu.VMEM((SEG, RB, 128), jnp.int32),     # v_scr
+            pltpu.VMEM((SEG, RB, 128), jnp.int32),     # node_scr
             pltpu.VMEM((SEG, RB, 128), jnp.int32),     # cum_scr
+            pltpu.VMEM((SEG, max(NL, 1), RB, 128), jnp.int32),  # ldr
+            pltpu.VMEM((SEG, max(NL, 1), RB, 128), jnp.int32),  # lcnt
         ],
         interpret=interpret,
     )(tabw, lim2, wmat)
