@@ -16,7 +16,9 @@ from huffmandecoderongpus_tpu.parallel.block_decode import (  # noqa: F401
 )
 from huffmandecoderongpus_tpu.parallel.lane_sharded import (  # noqa: F401
     decode_lane_sharded,
+    decode_lane_sharded_indexed,
     decode_lane_sharded_wide,
+    lane_sharded_indexed_runner,
     lane_sharded_runner,
     lane_sharded_wide_runner,
 )

@@ -427,6 +427,140 @@ def lane_sharded_wide_runner(hf, mesh: Mesh | None = None,
     return run, materialize
 
 
+# ---------------------------------------------------------------------------
+# Indexed shard bodies: `.huffidx` blocks sharded over the mesh.  Index
+# blocks all start at codeword boundaries, so every shard runs ONLY the
+# chunked main scan + dense compaction (k1_scan2 discover=False ->
+# k4_compact): no discovery, no composition, no fix scan, and — unlike
+# the discovery-based bodies above — NO collective at all (per-lane
+# symbol counts are exact from the index).  This is the load-balanced
+# multi-chip path: every shard's worst case is bounded by the longest
+# index block instead of a self-sync tail (VERDICT round-4 missing #3;
+# single-chip dispatch policy for the indexed program is unchanged,
+# DESIGN.md round-3 decision table).
+
+
+def _indexed_shard_body(raw_loc, sh_loc, tabq, lim_loc, *, plan, H, md,
+                        C0, C1, NS, Gl, RBl, interpret):
+    from huffmandecoderongpus_tpu.ops import pallas_widescan as ws
+
+    p = plan
+    Rl = Gl // 128
+    # device-side per-lane bit alignment + transpose, inside the shard
+    w2 = ws.normalize_lane_words(raw_loc, sh_loc)
+    wmat = w2.T.reshape(-(-p["steps_p"] // 32), Rl, 128)
+    sym, val, *_ = ws.k1_scan2(
+        wmat, tabq, lim_loc, B=p["B"], H=H, G=Gl, steps=p["steps_p"],
+        steps_p=p["steps_p"], SEG=p["SEG"], UNROLL=p["UNROLL"], md=md,
+        C0=C0, C1=C1, NS=NS, RB=RBl, discover=False, interpret=interpret)
+    denseT = ws.k4_compact(sym, val, G=Gl,
+                           cells_p=p["steps_p"] // md // ws.CELL,
+                           ORP=p["ORP"], interpret=interpret)
+    # fence: data-dependent on the last kernel (cf. _wide_shard_body)
+    fence = denseT[0, 0].astype(jnp.int32) + denseT[Gl - 1, 0].astype(
+        jnp.int32)
+    return denseT, fence[None]
+
+
+def _rb_for(R: int, SEG: int) -> int:
+    """Row-group blocking for an R-sublane-row shard: the largest
+    HW-validated block (<= 32 rows, >= 4 — Mosaic's lane-axis
+    dynamic_gather floor) dividing R, halved for long segments (cf.
+    stage_widescan_indexed's rule)."""
+    for rb in (32, 16, 8, 4):
+        if R % rb == 0:
+            return min(rb, 16) if SEG > 96 else rb
+    raise ValueError(f"shard row count {R} not divisible by any block")
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_indexed(mesh: Mesh, axis: str, plan_items, H: int, md: int,
+                      C0: int, C1: int, NS: int, Gl: int, RBl: int,
+                      interpret: bool, check_vma: bool):
+    plan = dict(plan_items)
+    body = functools.partial(_indexed_shard_body, plan=plan, H=H, md=md,
+                             C0=C0, C1=C1, NS=NS, Gl=Gl, RBl=RBl,
+                             interpret=interpret)
+    mapped = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(), P(axis, None)),
+        out_specs=(P(axis, None), P(axis)),
+        check_vma=check_vma)
+    return jax.jit(mapped)
+
+
+def lane_sharded_indexed_runner(hf, offsets, block_symbols: int,
+                                mesh: Mesh | None = None,
+                                interpret: bool | None = None):
+    """Stage the index-sharded decode; returns ``(run, materialize)``.
+
+    The `.huffidx` block boundaries ARE the lanes (cf.
+    ops/pallas_widescan.stage_widescan_indexed), sharded contiguously
+    over the mesh.  Raises EnvelopeError outside the indexed chunked
+    envelope or when the padded lane count does not divide over the
+    mesh."""
+    from huffmandecoderongpus_tpu.ops import pallas_widescan as ws
+
+    if mesh is None:
+        mesh = make_mesh()
+    D = int(mesh.devices.size)
+    # pad lanes to 512*D so every shard gets whole, >= 4-row row groups
+    # (excess lanes are all-PAD: lim <= 0, zero counts)
+    st = ws.stage_widescan_indexed(hf, offsets, block_symbols,
+                                   lane_multiple=512 * D)
+    p = st["plan"]
+    if block_symbols > p["ORP"]:
+        raise ws.EnvelopeError("index blocks overflow the dense buffer")
+    G = p["G"]
+    if G % (128 * D):
+        raise ws.EnvelopeError(
+            f"lane count {G} not divisible over {D} shards")
+    Gl = G // D
+    Rl = Gl // 128
+    if Rl < 4:
+        raise ws.EnvelopeError("fewer than 512 lanes per shard")
+    try:
+        RBl = _rb_for(Rl, p["SEG"])
+    except ValueError as e:
+        raise ws.EnvelopeError(str(e))
+    if interpret is None:
+        interpret = mesh.devices.flat[0].platform != "tpu"
+    fn = _compiled_indexed(mesh, BLOCK_AXIS, tuple(sorted(p.items())),
+                           st["H"], st["md"], st["C0"], st["C1"], st["NS"],
+                           Gl, RBl, interpret, CHECK_VMA_PALLAS)
+    raw, sh, tq, l2 = st["raw"], st["sh"], st["tabw"], st["lim2"]
+    counts = st["counts"]
+    ORP = p["ORP"]
+
+    def run():
+        return fn(raw, sh, tq, l2)
+
+    def materialize(out):
+        denseT, _fence = out
+        dense = np.asarray(denseT)
+        mask = np.arange(ORP)[None, :] < counts[:, None]
+        return dense[mask]
+
+    return run, materialize
+
+
+def decode_lane_sharded_indexed(hf, offsets, block_symbols: int,
+                                mesh: Mesh | None = None,
+                                check_size: bool = True,
+                                interpret: bool | None = None) -> np.ndarray:
+    """Widescan decode with `.huffidx` blocks sharded over a device mesh:
+    no discovery, no collective, per-shard dense bytes with a bounded
+    worst case (the longest index block).  Raises EnvelopeError for
+    callers to fall back (e.g. to ``decode_lane_sharded_wide``)."""
+    run, materialize = lane_sharded_indexed_runner(
+        hf, offsets, block_symbols, mesh=mesh, interpret=interpret)
+    out = materialize(run())
+    if check_size and out.size != hf.uncompressed_size:
+        raise RuntimeError(
+            f"emitted {out.size} symbols, header says {hf.uncompressed_size}")
+    return out
+
+
 def decode_lane_sharded_wide(hf, mesh: Mesh | None = None,
                              lanes: int | None = None,
                              check_size: bool = True,

@@ -201,6 +201,56 @@ def test_lane_sharded_wide_kjv_matches_unsharded(n_dev):
     np.testing.assert_array_equal(out, td.ucd)
 
 
+# ---------------------------------------------------------------------------
+# indexed shard bodies (`.huffidx` blocks over the mesh; round 5)
+
+
+@pytest.mark.parametrize("n_dev", [
+    2,  # cheap enough (~5s: no discovery machinery to compile) for the
+        # default gate — the one sharded Pallas-body case that runs on
+        # every commit
+    pytest.param(4, marks=pytest.mark.interpret)])
+def test_lane_sharded_indexed(rng, n_dev):
+    # index blocks ARE the lanes, sharded contiguously: every shard runs
+    # main scan + compaction only (no discovery, no collective), counts
+    # exact from the index — the bounded-worst-case multi-chip path
+    from huffmandecoderongpus_tpu.parallel import decode_lane_sharded_indexed
+
+    probs = np.array([0.35, 0.2, 0.12, 0.1, 0.08, 0.06, 0.05, 0.04])
+    raw = rng.choice(np.arange(8, dtype=np.uint8), size=60000,
+                     p=probs / probs.sum()).astype(np.uint8)
+    hf = encode_bytes(raw, block_symbols=256)
+    out = decode_lane_sharded_indexed(hf, *hf.index, mesh=make_mesh(n_dev))
+    np.testing.assert_array_equal(out, raw)
+
+
+def test_lane_sharded_indexed_envelope(rng):
+    # md=1 trees are outside the indexed chunked envelope: EnvelopeError
+    # so callers can fall back to the discovery-based sharded path
+    from huffmandecoderongpus_tpu.ops.pallas_widescan import EnvelopeError
+    from huffmandecoderongpus_tpu.parallel import decode_lane_sharded_indexed
+
+    raw = (rng.random(60000) < 0.25).astype(np.uint8)
+    hf = encode_bytes(raw, block_symbols=256)
+    with pytest.raises(EnvelopeError):
+        decode_lane_sharded_indexed(hf, *hf.index, mesh=make_mesh(2))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n_dev", [8])
+def test_lane_sharded_indexed_kjv(n_dev):
+    """The load-balance story at corpus scale: kjv re-encoded with a
+    `.huffidx` sidecar decodes bit-exact with its index blocks sharded
+    over the 8-device virtual mesh (VERDICT round-4 item 7)."""
+    from huffmandecoderongpus_tpu.huffio.encoder import encode_bytes as enc
+    from huffmandecoderongpus_tpu.parallel import decode_lane_sharded_indexed
+
+    td = corpus.load_test_data("kjv.txt")
+    hf = enc(td.ucd, block_symbols=512)
+    out = decode_lane_sharded_indexed(hf, *hf.index, mesh=make_mesh(n_dev))
+    np.testing.assert_array_equal(out, td.ucd)
+
+
 @pytest.mark.xfail(
     strict=False,
     reason="upstream JAX: pallas_call inside shard_map gets mismatched "
