@@ -34,6 +34,7 @@ SUITES = [
     "graph1", "graph2", "graph3", "graph4",
     "kjvprof", "opt", "bts", "testall",
     "kjv",  # ACC-driver corpus suite (mainrunacc.c:406-409)
+    "batch",  # round 5: small corpora in ONE batched device program
 ]
 COMMANDS = ["encode", "decode", "verify", "info", "corpora", "decoders",
             "prof", "scaling", "bits"]
@@ -154,6 +155,47 @@ def run_suite(name: str, repeats: int = REPEATS) -> None:
     if name == "bts":
         for n in ("paper1", "hello", "news", "kjv.txt", "book2"):
             evalandshow(get_decoder("bigtable_simple"), load(n), repeats=repeats)
+        return
+
+    if name == "batch":
+        # Round 5: the bigtable small corpora decoded by ONE batched
+        # device program (ops/pallas_batch) — amortizes the per-program
+        # dispatch floor the reference pays per corpus in its
+        # back-to-back suite loop (mainrun.c:541-588).
+        import time as _time
+
+        import jax as _jax
+
+        from huffmandecoderongpus_tpu.ops.pallas_batch import (
+            decode_widescan_batch,
+        )
+
+        interpret = _jax.default_backend() != "tpu"
+        tds = [load(n) for n in ("paper1", "news", "book2")]
+        hfs = [td.cd for td in tds]
+        outs = decode_widescan_batch(hfs, interpret=interpret)
+        for td, out in zip(tds, outs):
+            if not np.array_equal(out, td.ucd):
+                raise SystemExit(f"batch: {td.name} MISMATCH")
+            print(f"  batch {td.name}: OK ({td.ucd.size} bytes)")
+        from huffmandecoderongpus_tpu.harness.evaluate import TIME_BUDGET_S
+
+        best = None
+        done = 0
+        t_start = _time.perf_counter()
+        for _ in range(repeats):
+            t0 = _time.perf_counter()
+            decode_widescan_batch(hfs, check_size=False,
+                                  interpret=interpret)
+            dt = _time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            done += 1
+            if _time.perf_counter() - t_start > TIME_BUDGET_S:
+                break  # same per-row budget rule as evalandshow
+        total = sum(td.ucd.size for td in tds)
+        print(f"batched {len(hfs)} streams: {best * 1e3:.3f} ms wall  "
+              f"{total / best / 1e9:.2f} GB/s aggregate "
+              f"(min of {done}, incl. host staging/trim)")
         return
 
     if name == "testall":

@@ -743,12 +743,20 @@ def k1_scan(wmat, tabw, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL, md,
 # per-state int32 words T_b0 = e(b1=0) | e(b1=1)<<16.
 
 
+def _k1_kernel2_c01(tab_ref, lim_ref, bits_ref, c01_ref, *rest, **kw):
+    """Entry point with a per-lane root-children word input (batched
+    multi-stream decode: each lane's tree has its own C0/C1)."""
+    return _k1_kernel2(tab_ref, lim_ref, bits_ref, *rest,
+                       c01_ref=c01_ref, **kw)
+
+
 def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
                 cntmap_ref, exmap_ref, mrowmap_ref,
                 node0, cnt0, done0, exit0, nodeC, cntC, recC, cumMC,
                 node_scr, cum_scr, ldr_scr, lcnt_scr,
                 *, B, H, steps, SEG, md, CH, HP,
-                RB, C0, C1, NS, NL, discover=True, bits_whole=False):
+                RB, C0, C1, NS, NL, discover=True, bits_whole=False,
+                c01_ref=None):
     """Chunked twin of _k1_kernel with two-tier state-equality self-sync
     (round 4).
 
@@ -893,22 +901,34 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
 
     tail = (s + 1) * SEG > B - 1
     live = live_any > 0
+    # a segment where every lane of this row group is already past its
+    # stream end (batch padding lanes / the common-B tail of a shorter
+    # stream in a batched decode) writes zero cells and skips the scans
+    # entirely — identical output to the fully-masked main pass
+    seg_live = jnp.max(lim) > s * SEG
 
-    @pl.when(tail & live)
+    @pl.when(tail & live & seg_live)
     def _full_s():
         main_block(True, True)
 
-    @pl.when(tail & ~live)
+    @pl.when(tail & ~live & seg_live)
     def _full_n():
         main_block(True, False)
 
-    @pl.when(~tail & live)
+    @pl.when(~tail & live & seg_live)
     def _light_s():
         main_block(False, True)
 
-    @pl.when(~tail & ~live)
+    @pl.when(~tail & ~live & seg_live)
     def _light_n():
         main_block(False, False)
+
+    @pl.when(~seg_live)
+    def _dead():
+        zc = jnp.zeros((R, 128), jnp.int32)
+        for cl in range(SEG // md // CELL):
+            sym_ref[cl] = zc
+            val_ref[cl] = zc.astype(jnp.uint8)
 
     def chunk_step(node, rec, srow, lj2, NCH):
         """Shared walk step for a candidate batch (NCH, R, 128): returns
@@ -926,7 +946,11 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
                       w0.reshape(NCH, R, 128))
         e = (w >> (b1 << 4)) & 0xFFFF
         e = jnp.where(valid, e, 0)
-        rc = jnp.where(b1 > 0, C1, C0)
+        if c01_ref is not None:  # per-lane root children (batched trees)
+            c01 = c01_ref[...]
+            rc = jnp.where(b1 > 0, (c01 >> 16) & 0xFFFF, c01 & 0xFFFF)
+        else:
+            rc = jnp.where(b1 > 0, C1, C0)
         emit, pos, _sym, nst = _e_step2(e, NS, rc)
         alive = 1 - (rec & 1)
         started = jnp.where(jbit >= srow, 1, 0)
@@ -1077,13 +1101,31 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
             mrowmap_ref[o] = jnp.full((R, 128), steps, jnp.int32)
 
 
+def _stream_of(rg, bounds):
+    """Piecewise-constant stream index of row group ``rg`` (traced-safe:
+    a sum of compares against the static row-group boundaries)."""
+    k = 0
+    for b in bounds:
+        k = k + (rg >= b)
+    return k
+
+
 @functools.partial(jax.jit, static_argnames=(
     "B", "H", "G", "steps", "steps_p", "SEG", "UNROLL", "md", "RB",
-    "C0", "C1", "NS", "discover", "interpret"))
-def k1_scan2(wmat, tabq, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL,
-             md, C0, C1, NS=1, RB=0, discover=True, interpret=False):
+    "C0", "C1", "NS", "discover", "tab_bounds", "interpret"))
+def k1_scan2(wmat, tabq, lim2, c01=None, *, B, H, G, steps, steps_p, SEG,
+             UNROLL, md, C0, C1, NS=1, RB=0, discover=True,
+             tab_bounds=None, interpret=False):
     """Chunked K1 over the halo'd word matrix ``wmat`` (steps_p//32, R,
-    128) int32 (see words_matrix_device)."""
+    128) int32 (see words_matrix_device).
+
+    ``c01``/``tab_bounds`` (round 5, batched multi-stream decode): when a
+    program decodes N independent streams in one launch, ``tabq`` holds N
+    stacked compact quad tables ((2N, 128)), ``tab_bounds`` gives the
+    static row-group boundaries between streams (the table BlockSpec
+    index map selects each row group's own (2, 128) table block — zero
+    extra gather cost vs a single stream), and ``c01`` carries each
+    lane's root-children word C0 | C1<<16 for the partial-start paths."""
     UNROLL0 = UNROLL
     del UNROLL
     R = G // 128
@@ -1104,20 +1146,30 @@ def k1_scan2(wmat, tabq, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL,
              pl.BlockSpec((SEG // 32, RB, 128), lambda rg, s: (s, rg, 0),
                           memory_space=pltpu.VMEM))
     NL = min(max(md, 1), CH) if discover else 0
+    if tab_bounds is None:
+        tab_spec = pl.BlockSpec((2 * NS, 128), lambda rg, s: (0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        if NS != 1:
+            raise ValueError("batched tables require compact (NS=1) trees")
+        tab_spec = pl.BlockSpec(
+            (2, 128), lambda rg, s: (_stream_of(rg, tab_bounds), 0),
+            memory_space=pltpu.VMEM)
+    lane_spec = pl.BlockSpec((RB, 128), lambda rg, s: (rg, 0),
+                             memory_space=pltpu.VMEM)
     kern = functools.partial(
-        _k1_kernel2, B=B, H=H, steps=steps, SEG=SEG,
+        _k1_kernel2 if c01 is None else _k1_kernel2_c01,
+        B=B, H=H, steps=steps, SEG=SEG,
         md=md, CH=CH, HP=HP, RB=RB, C0=C0, C1=C1, NS=NS, NL=NL,
         discover=discover, bits_whole=bits_whole)
     return pl.pallas_call(
         kern,
         grid=(RG, S),
         in_specs=[
-            pl.BlockSpec((2 * NS, 128), lambda rg, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((RB, 128), lambda rg, s: (rg, 0),
-                         memory_space=pltpu.VMEM),
+            tab_spec,
+            lane_spec,
             bspec,
-        ],
+        ] + ([] if c01 is None else [lane_spec]),
         out_specs=[
             pl.BlockSpec((cells_seg, RB, 128), lambda rg, s: (s, rg, 0),
                          memory_space=pltpu.VMEM),
@@ -1152,7 +1204,7 @@ def k1_scan2(wmat, tabq, lim2, *, B, H, G, steps, steps_p, SEG, UNROLL,
             pltpu.VMEM((SEG // 2, max(NL, 1), RB, 128), jnp.int32),  # lcnt
         ],
         interpret=interpret,
-    )(tabq, lim2, wmat)
+    )(*((tabq, lim2, wmat) if c01 is None else (tabq, lim2, wmat, c01)))
 
 
 # ---------------------------------------------------------------------------
@@ -1354,9 +1406,17 @@ def k3_fix(wmat, tabw, ent2, cut2, cutsl2, sym, val, *, G, steps_p, SEG,
     )(tabw, ent2, cut2, cutsl2, wmat, sym, val)
 
 
+def _k3_kernel2_c01(tab_ref, ent_ref, cut_ref, cutsl_ref, c01_ref,
+                    bits_ref, *rest, **kw):
+    """Entry point with a per-lane root-children word (batched trees)."""
+    return _k3_kernel2(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
+                       *rest, c01_ref=c01_ref, **kw)
+
+
 def _k3_kernel2(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
                 symin_ref, valin_ref, sym_ref, val_ref, nodeF,
-                *, G, SEG, md, C0, C1, NS, RB, bits_whole=False):
+                *, G, SEG, md, C0, C1, NS, RB, bits_whole=False,
+                c01_ref=None):
     """Chunked twin of _k3_kernel (fix + splice; see there).  A lane
     whose entry bit is odd activates mid-chunk: that chunk consumes only
     its second bit, i.e. a root step to C0/C1 with no emission possible
@@ -1396,7 +1456,12 @@ def _k3_kernel2(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
                 started = jbit >= ent
                 # no stream-limit mask (cf. _k3_kernel): splice-masked
                 e = jnp.where(started, e, 0)
-                rc = jnp.where(b1 > 0, C1, C0)
+                if c01_ref is not None:  # per-lane root children (batch)
+                    c01 = c01_ref[...]
+                    rc = jnp.where(b1 > 0, (c01 >> 16) & 0xFFFF,
+                                   c01 & 0xFFFF)
+                else:
+                    rc = jnp.where(b1 > 0, C1, C0)
                 emit, pos, sym32, node_full = _e_step2(e, NS, rc)
                 partial = ent == jbit + 1
                 node = jnp.where(started, node_full, node)
@@ -1443,9 +1508,10 @@ def _k3_kernel2(tab_ref, ent_ref, cut_ref, cutsl_ref, bits_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "G", "steps_p", "SEG", "UNROLL", "md", "C0", "C1", "NS", "RB",
-    "interpret"))
-def k3_fix2(wmat, tabq, ent2, cut2, cutsl2, sym, val, *, G, steps_p, SEG,
-            UNROLL, md, C0, C1, NS=1, RB=0, interpret=False):
+    "tab_bounds", "interpret"))
+def k3_fix2(wmat, tabq, ent2, cut2, cutsl2, sym, val, c01=None, *, G,
+            steps_p, SEG, UNROLL, md, C0, C1, NS=1, RB=0, tab_bounds=None,
+            interpret=False):
     del UNROLL
     R = G // 128
     RB = min(RB or R, R)
@@ -1460,22 +1526,33 @@ def k3_fix2(wmat, tabq, ent2, cut2, cutsl2, sym, val, *, G, steps_p, SEG,
              if bits_whole else
              pl.BlockSpec((SEG // 32, RB, 128), lambda rg, s: (s, rg, 0),
                           memory_space=pltpu.VMEM))
-    kern = functools.partial(_k3_kernel2, G=G, SEG=SEG,
+    kern = functools.partial(_k3_kernel2 if c01 is None else _k3_kernel2_c01,
+                             G=G, SEG=SEG,
                              md=md, C0=C0, C1=C1, NS=NS, RB=RB,
                              bits_whole=bits_whole)
     cell_spec = pl.BlockSpec((cells_seg, RB, 128), lambda rg, s: (s, rg, 0),
                              memory_space=pltpu.VMEM)
     lane_spec = pl.BlockSpec((RB, 128), lambda rg, s: (rg, 0),
                              memory_space=pltpu.VMEM)
+    if tab_bounds is None:
+        tab_spec = pl.BlockSpec((2 * NS, 128), lambda rg, s: (0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        if NS != 1:
+            raise ValueError("batched tables require compact (NS=1) trees")
+        tab_spec = pl.BlockSpec(
+            (2, 128), lambda rg, s: (_stream_of(rg, tab_bounds), 0),
+            memory_space=pltpu.VMEM)
+    nin = 7 if c01 is None else 8
     return pl.pallas_call(
         kern,
         grid=(RG, S),
         in_specs=[
-            pl.BlockSpec((2 * NS, 128), lambda rg, s: (0, 0),
-                         memory_space=pltpu.VMEM),
+            tab_spec,
             lane_spec,
             lane_spec,
             lane_spec,
+        ] + ([] if c01 is None else [lane_spec]) + [
             bspec,
             cell_spec,
             cell_spec,
@@ -1486,16 +1563,18 @@ def k3_fix2(wmat, tabq, ent2, cut2, cutsl2, sym, val, *, G, steps_p, SEG,
             jax.ShapeDtypeStruct((cells_p, R, 128), jnp.uint8),
         ],
         scratch_shapes=[pltpu.VMEM((RB, 128), jnp.int32)],
-        input_output_aliases={5: 0, 6: 1},
+        input_output_aliases={nin - 2: 0, nin - 1: 1},
         interpret=interpret,
-    )(tabq, ent2, cut2, cutsl2, wmat, sym, val)
+    )(*((tabq, ent2, cut2, cutsl2, wmat, sym, val) if c01 is None else
+        (tabq, ent2, cut2, cutsl2, c01, wmat, sym, val)))
 
 
 # ---------------------------------------------------------------------------
 # K4: per-lane compaction to dense prefixes
 
 
-def _k4_kernel(sym_ref, val_ref, out_ref, *, cells_p, cells_pp, ORP, RT):
+def _k4_kernel(sym_ref, val_ref, out_ref, *, cells_p, cells_pp, ORP, RT,
+               probes=7):
     """Per-lane compaction from CELL-packed emissions to dense rows, RT
     128-lane tiles per kernel instance (the Pallas TPU tiling rule wants
     the sublane block dim divisible by 8, so blocks carry 8 of the
@@ -1632,7 +1711,7 @@ def _k4_kernel(sym_ref, val_ref, out_ref, *, cells_p, cells_pp, ORP, RT):
                 # pos) for free — it is exactly the last rejected probe —
                 # saving the post-search cum gather
                 cbelow = jnp.zeros((128, 128), jnp.int32)
-                t = 64
+                t = 1 << (probes - 1)
                 while t:
                     npos = pos + t
                     c = (selp(cpacks, qp3, npos - 1, 3) >> shc) & 1023
@@ -1664,16 +1743,23 @@ def _k4_kernel(sym_ref, val_ref, out_ref, *, cells_p, cells_pp, ORP, RT):
 
 
 @functools.partial(jax.jit, static_argnames=("G", "cells_p", "ORP",
-                                             "interpret"))
-def k4_compact(sym, val, *, G, cells_p, ORP, interpret=False):
+                                             "probes", "interpret"))
+def k4_compact(sym, val, *, G, cells_p, ORP, probes=7, interpret=False):
     """sym/val: (cells_p, R, 128) spliced CELL-packed scan outputs.
     Returns denseT (G, ORP) u8 — lane g's first n_g decoded bytes
-    (lane g = r*128+c)."""
+    (lane g = r*128+c).
+
+    ``probes``: binary-search step count.  7 = log2(128 cells) is the
+    exact default; smaller values search only the first 2^probes cells
+    of each window and produce WRONG bytes for later ranks — a
+    TIMING-ONLY knob for the per-probe cost measurement (scripts/
+    hw_k4probes.py; DESIGN.md round-5 denser-cell analysis)."""
     R = G // 128
     RT = 8 if R % 8 == 0 else R
     cells_pp = -(-cells_p // 128) * 128
     kern = functools.partial(_k4_kernel, cells_p=cells_p,
-                             cells_pp=cells_pp, ORP=ORP, RT=RT)
+                             cells_pp=cells_pp, ORP=ORP, RT=RT,
+                             probes=probes)
     cell_spec = pl.BlockSpec((cells_p, RT, 128), lambda t: (0, t, 0),
                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -2018,12 +2104,17 @@ def normalize_lane_words(raw: jnp.ndarray, sh: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(lo | hi, jnp.int32)
 
 
-def stage_widescan_indexed(hf, offsets: np.ndarray, block_symbols: int):
+def stage_widescan_indexed(hf, offsets: np.ndarray, block_symbols: int,
+                           lane_multiple: int = 1024):
     """Stage the indexed fused decode: the `.huffidx` block boundaries
     ARE the lane starts, so every lane begins at the DFA root and no
     discovery, composition, or fix scan is needed; per-lane symbol
     counts are exact from the index.  Raises EnvelopeError outside the
-    chunked envelope (md=1 trees, too few blocks, >1023 states)."""
+    chunked envelope (md=1 trees, too few blocks, >1023 states).
+
+    ``lane_multiple``: pad the lane count to this multiple (>= 1024;
+    the sharded runner passes 512 * D so every shard's row count splits
+    into HW-validated row-group blocks)."""
     from huffmandecoderongpus_tpu.ops.lanedfa import build_lane_dfa
 
     dfa = build_lane_dfa(hf.tree)
@@ -2054,7 +2145,8 @@ def stage_widescan_indexed(hf, offsets: np.ndarray, block_symbols: int):
     BW = -(-steps_p // 32)
     # 1024-lane floor: K4's 8-row tiling (RT=8) and the Mosaic gather
     # row minimums want R a multiple of 8; excess lanes are all-PAD
-    G = max(1024, -(-nb // 1024) * 1024)
+    lane_multiple = max(int(lane_multiple), 1024)
+    G = max(lane_multiple, -(-nb // lane_multiple) * lane_multiple)
     R = G // 128
     # K1's row-group blocking requires RB | R (G is not a power of two
     # here, so 32 need not divide R)
