@@ -17,13 +17,19 @@ from huffmandecoderongpus_tpu.ops import pallas_widescan as ws
 
 
 def _text_like(rng, n, alphabet=8, skew=3.0):
-    w = rng.random(alphabet) ** skew + 1e-3
-    return rng.choice(np.arange(alphabet, dtype=np.uint8), size=n,
-                      p=w / w.sum()).astype(np.uint8)
+    # weight ratio bounded (max/min <= skew+1): no symbol's frequency can
+    # reach the ~0.4 that would give it a 1-bit code — the batch path
+    # requires md >= 2, and unbounded power-law draws made the trees
+    # depend on rng state
+    w = rng.random(alphabet) * skew + 1.0
+    raw = rng.choice(np.arange(alphabet, dtype=np.uint8), size=n,
+                     p=w / w.sum()).astype(np.uint8)
+    return raw
 
 
 @pytest.mark.interpret
-def test_batch_two_streams_distinct_trees(rng):
+def test_batch_two_streams_distinct_trees():
+    rng = np.random.default_rng(11)
     # two streams with different alphabets/trees in one program
     # (~40s: one batched-program compile; nightly with the other
     # kernel-compile-heavy cases)
@@ -36,7 +42,8 @@ def test_batch_two_streams_distinct_trees(rng):
 
 
 @pytest.mark.interpret
-def test_batch_mixed_md_and_sizes(rng):
+def test_batch_mixed_md_and_sizes():
+    rng = np.random.default_rng(12)
     # mixed min-depths (md 2 and 3): the batch runs at md_c = min and
     # the higher-md stream's emissions split across odd slot boundaries;
     # plus a tiny (single-live-lane) stream in the same program
@@ -51,14 +58,18 @@ def test_batch_mixed_md_and_sizes(rng):
         np.testing.assert_array_equal(out, raw)
 
 
-def test_batch_rejects_md1(rng):
+def test_batch_rejects_md1():
+    rng = np.random.default_rng(13)
     raw1 = _text_like(rng, 9000, alphabet=8)
     raw2 = (rng.random(9000) < 0.3).astype(np.uint8)  # md=1 tree
     with pytest.raises(ws.EnvelopeError):
         pb.stage_batch_inputs([encode_bytes(raw1), encode_bytes(raw2)])
 
 
-def test_batch_overflow_member_falls_back(rng, monkeypatch):
+@pytest.mark.interpret
+def test_batch_overflow_member_falls_back(monkeypatch):
+    # ~2 min: three program compiles (batch + two individual fallbacks)
+    rng = np.random.default_rng(14)
     # streams overflowing the shared dense buffer re-decode individually
     # (decode_widescan's own fallback chain) without failing the batch.
     # ORP is 128-granular, so overflow needs > 128 symbols in a lane:
