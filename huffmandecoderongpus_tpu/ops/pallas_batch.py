@@ -8,8 +8,9 @@ suites (`bigtable` decodes 5 corpora in one process,
 matter how fast the kernels are.  This module amortizes the floor by
 decoding N streams in ONE jitted widescan program:
 
-  * Every stream keeps its OWN Huffman table: the stacked (2N, 128)
-    compact quad tables are selected per ROW GROUP by the table
+  * Every stream keeps its OWN Huffman table: the stacked compact quad
+    tables (an 8-row block per stream — two live rows + Mosaic sublane
+    padding) are selected per ROW GROUP by the table
     BlockSpec's index map (k1_scan2/k3_fix2 ``tab_bounds``) — streams
     occupy disjoint row-group ranges, so table selection costs ZERO
     extra gathers in the hot loop (vs an NS-chunked table, which would
@@ -59,16 +60,33 @@ from huffmandecoderongpus_tpu.ops.pallas_widescan import (
     words_matrix_device,
 )
 
-#: lane-block granularity per stream: whole 1024-lane blocks keep every
-#: row count a multiple of 8 (K4's RT=8 tiling, >= 8-row Mosaic gathers)
-LANE_BLOCK = 1024
+#: lane-block granularity per stream: whole 4096-lane blocks keep every
+#: row count a multiple of 32, so K1 runs at RB=32 — measured round 5:
+#: at RB=8 every kernel op is ONE (8,128) vreg and the dependent-chain
+#: latency dominates (batch K1 ran ~4x below kjv's per-op rate); RB=32
+#: keeps 4 independent vregs per op in flight, the same pipelining the
+#: kjv plan gets.  Dead lanes inside a block ride the vectors; wholly
+#: dead row-group segments are zero-write gated.
+LANE_BLOCK = 4096
+
+#: floor for the shared lane bit length: keeps entry offsets (< H) and
+#: the candidate halo well inside a lane for every supported tree
+MIN_B = 128
 
 
-def stage_batch_inputs(hfs, B=None):
+def stage_batch_inputs(hfs, B=None, md_force=None, lane_block=None):
     """Stage N HuffFiles for one batched decode.  Raises EnvelopeError
     when any stream's tree is outside the batch envelope (md < 2 or
     > 127 internal states — the compact-table requirement that makes
-    per-row-group table blocks free)."""
+    per-row-group table blocks free).
+
+    ``md_force``: clamp the batch min-depth (running at a SMALLER md
+    than the trees' true minimum is always valid — slots just pack less
+    densely).  md=2 keeps SEG at 32 bits, which streams whole word
+    blocks per segment with STATIC in-kernel row addressing; odd-md
+    segments hold the whole matrix per row group and address word rows
+    dynamically (measured slower per bit on v5e — see DESIGN.md
+    round-5 batch table)."""
     if not hfs:
         raise ValueError("empty batch")
     dfas, Hs, mds, avgs = [], [], [], []
@@ -90,15 +108,21 @@ def stage_batch_inputs(hfs, B=None):
         avgs.append(hf.bits / max(hf.uncompressed_size, 1))
     H = max(Hs)
     md = min(mds)
+    if md_force is not None:
+        md = max(2, min(md, int(md_force)))
     UNROLL = 4 * md
     SEG = UNROLL * max(1, 32 // UNROLL)
+    lane_block = int(lane_block or LANE_BLOCK)
     if B is None:
-        # the largest stream sets the common lane length (its natural
-        # plan geometry); smaller streams get fewer, same-length lanes —
-        # their total scan work is still ~their own bit count
+        # the largest stream sets the common lane length: its natural
+        # plan geometry, widened to at least one full lane block so the
+        # batch runs at RB=32 with mostly-live blocks; smaller streams
+        # get fewer, same-length lanes — their total scan work is still
+        # ~their own bit count
         k_big = int(np.argmax([hf.bits for hf in hfs]))
         p_big = _plan(hfs[k_big].bits, H, md, avg_len=avgs[k_big])
-        B = p_big["B"]
+        G_eff = max(lane_block, p_big["G"])
+        B = max(MIN_B, -(-hfs[k_big].bits // G_eff))
     B = -(-int(B) // 32) * 32
     steps = B + H
     steps_p = -(-steps // SEG) * SEG
@@ -110,14 +134,18 @@ def stage_batch_inputs(hfs, B=None):
     total_G = 0
     for k, hf in enumerate(hfs):
         live = max(1, -(-hf.bits // B))
-        Gk = -(-live // LANE_BLOCK) * LANE_BLOCK
+        Gk = -(-live // lane_block) * lane_block
         g0.append(total_G)
         g_live.append(live)
         g_pad.append(Gk)
         total_G += Gk
         tabq, C0, C1, NS = pack_quad_tables(dfas[k])
         assert NS == 1  # guaranteed by the MAX_STATES check
-        tabs.append(tabq)
+        # 8-row block per stream (Mosaic sublane block divisibility):
+        # rows 0-1 are the quad-table pair, rows 2-7 pad
+        tab8 = np.zeros((8, 128), np.int32)
+        tab8[:2] = tabq
+        tabs.append(tab8)
         c01s.append(np.full((Gk // 128, 128), C0 | (C1 << 16), np.int32))
         lane = np.arange(Gk, dtype=np.int64).reshape(Gk // 128, 128)
         lims.append(np.clip(hf.bits - lane * B, -(1 << 30),
@@ -128,7 +156,8 @@ def stage_batch_inputs(hfs, B=None):
     G = total_G
     R = G // 128
     # row-group blocking: largest HW-validated block dividing every
-    # stream's row count (all multiples of 8 by LANE_BLOCK)
+    # stream's row count (all multiples of 32 by LANE_BLOCK; smaller
+    # only under an explicit lane_block override)
     RB = 32 if all((g // 128) % 32 == 0 for g in g_pad) else (
         16 if all((g // 128) % 16 == 0 for g in g_pad) else 8)
     # static row-group boundaries between streams (for the table index

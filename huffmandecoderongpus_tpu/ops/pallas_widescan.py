@@ -525,20 +525,33 @@ def _k1_kernel(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
             node = jnp.where(started > 0, nst, node)
             em = emit1 * started
             cnt = cnt + em
-            # publish the trajectory for followers; a late-resolved
-            # (exited) leader publishes -1 so nobody merges into it
-            lstop = (rec & 1) * (1 - ((rec >> 1) & 1))
-            ldr_scr[i] = jnp.where(lstop > 0, -1, node)
-            lcnt_scr[i] = cnt
             nz = node_scr[i][None]
+            # publish the trajectory for followers; publish -1 when
+            # (a) this leader late-resolved (exited — its continued walk
+            # is spurious), or (b) the MAIN chain has exited (nz == -1):
+            # an m0-merged leader keeps tracking the main's PHYSICAL walk
+            # into the halo, where post-exit emissions inflate lcnt — a
+            # follower state-matching it there would compose a count one
+            # short per spurious emission and inherit the 0-chain's exit
+            # instead of its own (round-5 md=1 one-byte-mismatch bug)
+            lstop = (rec & 1) * (1 - ((rec >> 1) & 1))
+            ldr_scr[i] = jnp.where((lstop > 0) | (nz == -1), -1, node)
+            lcnt_scr[i] = cnt
             cum0 = cum_scr[i][None]
             m0 = ((alive * started) > 0) & valid & (node == nz)
             late = ((em * alive) > 0) & (j + 1 >= B)
+            # stream-end resolution on the final partial lane (see the
+            # chunked leader pass): without it an un-merged chain stays
+            # "unresolved" and keeps the candidate region live to the
+            # program's end
+            ended = ((alive * started) > 0) & ~valid
             rec_m = (j << 3) | 2 | 1
             rec_l = (j << 3) | 1
-            rec = jnp.where(m0, rec_m, jnp.where(late, rec_l, rec))
+            rec_e = ((B - 1) << 3) | 1
+            rec = jnp.where(m0, rec_m, jnp.where(
+                late, rec_l, jnp.where(ended, rec_e, rec)))
             cum = jnp.where(m0, jnp.broadcast_to(cum0, cum.shape) - cnt,
-                            jnp.where(late, cnt, cum))
+                            jnp.where(late | ended, cnt, cum))
             return node, cnt, rec, cum
 
         init = (nodeC[0:NL], cntC[0:NL], recC[0:NL], cumMC[0:NL])
@@ -578,15 +591,18 @@ def _k1_kernel(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
                 m0 = ok & (node == nz)
                 mL = ok & (node == nl) & ~m0
                 late = (em > 0) & (j + 1 >= B)
+                ended = ((alive * started) > 0) & ~valid
                 rec_m0 = (j << 3) | 2 | 1
                 rec_mL = (j << 3) | 4 | 1
                 rec_l = (j << 3) | 1
+                rec_e = ((B - 1) << 3) | 1
                 rec = jnp.where(m0, rec_m0, jnp.where(
-                    mL, rec_mL, jnp.where(late, rec_l, rec)))
+                    mL, rec_mL, jnp.where(late, rec_l, jnp.where(
+                        ended, rec_e, rec))))
                 cum = jnp.where(
                     m0, jnp.broadcast_to(cum0, cum.shape) - cnt,
                     jnp.where(mL, jnp.broadcast_to(lcnt, cum.shape) - cnt,
-                              jnp.where(late, cnt, cum)))
+                              jnp.where(late | ended, cnt, cum)))
                 return node, cnt, rec, cum
 
             init = (nodeC[c0g:c1g], cntC[c0g:c1g],
@@ -973,20 +989,38 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
                              jnp.broadcast_to(rc, node.shape), node)
             em = emit * started
             cnt = cnt + em
-            # publish the trajectory for followers; a late-resolved
-            # (exited) leader publishes -1 so nobody merges into it
-            lstop = (rec & 1) * (1 - ((rec >> 1) & 1))
-            ldr_scr[i] = jnp.where(lstop > 0, -1, node)
-            lcnt_scr[i] = cnt
             nz = node_scr[i][None]
+            # publish the trajectory for followers; publish -1 when
+            # (a) this leader late-resolved (exited — its continued walk
+            # is spurious), or (b) the MAIN chain has exited (nz == -1):
+            # an m0-merged leader keeps tracking the main's PHYSICAL
+            # walk into the halo, where post-exit emissions inflate
+            # lcnt — a follower state-matching it there composes a
+            # short count and inherits the wrong exit (round-5 bug,
+            # found on the md=1 path; latent here too)
+            lstop = (rec & 1) * (1 - ((rec >> 1) & 1))
+            ldr_scr[i] = jnp.where((lstop > 0) | (nz == -1), -1, node)
+            lcnt_scr[i] = cnt
             cum0 = cum_scr[i][None]
             m0 = ((alive * started) > 0) & valid & (node == nz)
             late = ((em * alive) > 0) & (jbit + pos + 1 >= B)
+            # stream-end resolution (round 5): on the stream's final
+            # PARTIAL lane a chain can neither state-merge past the
+            # 0-chain's exit nor emit a late exit — without this it
+            # stays "unresolved" and keeps the whole candidate region
+            # live for the rest of the program (measured 0.5+ ms on the
+            # batched program; the same straggler rides every
+            # single-stream decode).  Encoded as a late resolution at
+            # row B-1: tot = the raw count, ex = 0, full-replay mrow —
+            # byte-identical to the old unresolved epilogue path.
+            ended = ((alive * started) > 0) & ~valid
             rec_m = ((jbit + 1) << 3) | 2 | 1
             rec_l = (((jbit + pos) << 3) | 1)
-            rec = jnp.where(m0, rec_m, jnp.where(late, rec_l, rec))
+            rec_e = ((B - 1) << 3) | 1
+            rec = jnp.where(m0, rec_m, jnp.where(
+                late, rec_l, jnp.where(ended, rec_e, rec)))
             cum = jnp.where(m0, jnp.broadcast_to(cum0, cum.shape) - cnt,
-                            jnp.where(late, cnt, cum))
+                            jnp.where(late | ended, cnt, cum))
             return node, cnt, rec, cum
 
         init = (nodeC[0:NL], cntC[0:NL], recC[0:NL], cumMC[0:NL])
@@ -1028,15 +1062,19 @@ def _k1_kernel2(tab_ref, lim_ref, bits_ref, sym_ref, val_ref,
                 m0 = ok & (node == nz)
                 mL = ok & (node == nl) & ~m0
                 late = (em > 0) & (jbit + pos + 1 >= B)
+                # stream-end resolution: see the leader pass
+                ended = ((alive * started) > 0) & ~valid
                 rec_m0 = ((jbit + 1) << 3) | 2 | 1
                 rec_mL = ((jbit + 1) << 3) | 4 | 1
                 rec_l = ((jbit + pos) << 3) | 1
+                rec_e = ((B - 1) << 3) | 1
                 rec = jnp.where(m0, rec_m0, jnp.where(
-                    mL, rec_mL, jnp.where(late, rec_l, rec)))
+                    mL, rec_mL, jnp.where(late, rec_l, jnp.where(
+                        ended, rec_e, rec))))
                 cum = jnp.where(
                     m0, jnp.broadcast_to(cum0, cum.shape) - cnt,
                     jnp.where(mL, jnp.broadcast_to(lcnt, cum.shape) - cnt,
-                              jnp.where(late, cnt, cum)))
+                              jnp.where(late | ended, cnt, cum)))
                 return node, cnt, rec, cum
 
             init = (nodeC[c0g:c1g], cntC[c0g:c1g],
@@ -1152,8 +1190,10 @@ def k1_scan2(wmat, tabq, lim2, c01=None, *, B, H, G, steps, steps_p, SEG,
     else:
         if NS != 1:
             raise ValueError("batched tables require compact (NS=1) trees")
+        # 8-row blocks (two live rows + 6 pad): Mosaic requires sublane
+        # block dims divisible by 8; the kernel reads rows 0:1 / 1:2 only
         tab_spec = pl.BlockSpec(
-            (2, 128), lambda rg, s: (_stream_of(rg, tab_bounds), 0),
+            (8, 128), lambda rg, s: (_stream_of(rg, tab_bounds), 0),
             memory_space=pltpu.VMEM)
     lane_spec = pl.BlockSpec((RB, 128), lambda rg, s: (rg, 0),
                              memory_space=pltpu.VMEM)
@@ -1540,8 +1580,9 @@ def k3_fix2(wmat, tabq, ent2, cut2, cutsl2, sym, val, c01=None, *, G,
     else:
         if NS != 1:
             raise ValueError("batched tables require compact (NS=1) trees")
+        # 8-row blocks (two live rows + 6 pad): see k1_scan2's tab_spec
         tab_spec = pl.BlockSpec(
-            (2, 128), lambda rg, s: (_stream_of(rg, tab_bounds), 0),
+            (8, 128), lambda rg, s: (_stream_of(rg, tab_bounds), 0),
             memory_space=pltpu.VMEM)
     nin = 7 if c01 is None else 8
     return pl.pallas_call(

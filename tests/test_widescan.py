@@ -349,6 +349,29 @@ def test_widescan_md1_phase_locked_runs(rng):
 
 
 @pytest.mark.interpret
+def test_widescan_md1_leader_halo_publish():
+    # regression (round 5): an m0-merged LEADER kept publishing the
+    # main chain's physical walk past the main's exit; on md=1 trees the
+    # halo's zero bits emit the 1-bit symbol every row, so a follower
+    # state-matching the leader there composed a count one short and
+    # inherited the 0-chain's exit offset instead of its own (exactly
+    # one wrong byte at a lane boundary).  This seed reproduced it
+    # deterministically before the leader -1 guard on (nz == -1).
+    from huffmandecoderongpus_tpu.ops import pallas_widescan as ws
+
+    rng3 = np.random.default_rng(3)
+    w = np.full(256, 1.0)
+    w[0] = 300.0
+    raw = rng3.choice(np.arange(256, dtype=np.uint8), size=20000,
+                      p=w / w.sum()).astype(np.uint8)
+    hf = encode_bytes(raw)
+    dfa = build_lane_dfa(hf.tree)
+    assert dfa.min_depth == 1 and dfa.entry.shape[0] // 2 > ws.MAX_STATES
+    out = decode_widescan(hf, lanes=512, interpret=True)
+    np.testing.assert_array_equal(out, raw)
+
+
+@pytest.mark.interpret
 def test_widescan_md1_deep_tree_stays_wide(rng):
     # min code length 1 with >127 internal states (one dominant symbol
     # over a full byte alphabet — the adversarial/binary-ish shape): the
