@@ -225,15 +225,23 @@ def main() -> None:
             fence, out = run()  # compile + warm
             sync(fence)
             warm = time.perf_counter() - t0
-            dense = materialize(out)
-            if compare_uncompressed(dense, td.ucd) != 0:
-                print(f"# {name}: NOT bit-exact, skipped", file=sys.stderr)
-                continue
             if best is not None and warm - floor > 50 * best[0] + 60:
                 # cannot win; don't spend deadline on its timing loop
                 print(f"# {name}: warm run {warm*1e3:.0f} ms, outclassed; "
                       "skipped timing", file=sys.stderr)
                 continue
+            # NOTE (round 5): the bit-exact check runs AFTER the timing
+            # loop.  Materializing the dense output first moves ~8 MB
+            # through this environment's ~1 MB/s relay (8-10 s of
+            # transfer churn) right before the timed region; timing in
+            # the youngest part of the session and discarding the
+            # measurement on a (never-observed) mismatch keeps the same
+            # verification at strictly less pre-timing churn.  (Session
+            # noise is larger than this effect on any single run —
+            # rehearsals read 1.63-1.83 ms across sessions either way —
+            # but the ordering risk is one-sided.)  The reference's
+            # verify-then-time order (decodeUtil.c:47-52) is preserved
+            # in the CLI suites, where transfers are cheap.
             # amortized two-batch differencing: per-run time =
             # (T(KB) - T(KA)) / (KB - KA) over min-of-trials batches.
             # The relay's per-fence round-trip varies 23-36 ms BETWEEN
@@ -264,6 +272,11 @@ def main() -> None:
                 sync(fence)
                 lb.append(time.perf_counter() - t0)
             dev = max((min(lb) - min(la)) / (KB - KA), 1e-6)
+            dense = materialize(out)
+            if compare_uncompressed(dense, td.ucd) != 0:
+                print(f"# {name}: NOT bit-exact, timing discarded",
+                      file=sys.stderr)
+                continue
             print(f"# {name}: {dev*1e3:.2f} ms/run (K={KA}/{KB}, "
                   f"{trials} trials, floor {floor*1e3:.1f} ms)",
                   file=sys.stderr)

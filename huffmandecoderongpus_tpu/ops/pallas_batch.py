@@ -60,14 +60,25 @@ from huffmandecoderongpus_tpu.ops.pallas_widescan import (
     words_matrix_device,
 )
 
-#: lane-block granularity per stream: whole 4096-lane blocks keep every
-#: row count a multiple of 32, so K1 runs at RB=32 — measured round 5:
-#: at RB=8 every kernel op is ONE (8,128) vreg and the dependent-chain
-#: latency dominates (batch K1 ran ~4x below kjv's per-op rate); RB=32
-#: keeps 4 independent vregs per op in flight, the same pipelining the
-#: kjv plan gets.  Dead lanes inside a block ride the vectors; wholly
-#: dead row-group segments are zero-write gated.
-LANE_BLOCK = 4096
+#: lane-block granularity per stream.  Swept on the v5e (round 5, same
+#: session, paper1+news+book2 and 5x paper1-class):
+#:
+#:   | config              | trio (3 streams) | 5 small streams |
+#:   |---------------------|------------------|-----------------|
+#:   | LB=1024, natural B  | 1.15 ms          | **0.53 ms**     |
+#:   | LB=2048, B=1504     | **1.01 ms**      | —               |
+#:   | LB=4096, B=bits/4k  | 1.23 ms          | 0.79 ms         |
+#:   | sum of solo decodes | 0.66-0.89 ms     | 0.69 ms         |
+#:
+#: Near-natural lanes win: short common-B lanes multiply candidate
+#: chains (the ~500 symbols/lane rule), and the wider-RB pipelining of
+#: 4096-lane blocks never recovers that.  The batch BEATS the solo sum
+#: only where the per-program dispatch floor dominates every member
+#: (N floor-bound streams: +23% at 5 paper1-class streams, ONE dispatch
+#: instead of N); for multi-Mbit members the shared-geometry costs
+#: exceed the N-1 saved floors and per-stream routed decodes are faster
+#: on this relay.  Callers choose; the knobs stay overridable.
+LANE_BLOCK = 1024
 
 #: floor for the shared lane bit length: keeps entry offsets (< H) and
 #: the candidate halo well inside a lane for every supported tree
@@ -114,15 +125,14 @@ def stage_batch_inputs(hfs, B=None, md_force=None, lane_block=None):
     SEG = UNROLL * max(1, 32 // UNROLL)
     lane_block = int(lane_block or LANE_BLOCK)
     if B is None:
-        # the largest stream sets the common lane length: its natural
-        # plan geometry, widened to at least one full lane block so the
-        # batch runs at RB=32 with mostly-live blocks; smaller streams
-        # get fewer, same-length lanes — their total scan work is still
-        # ~their own bit count
+        # the largest stream sets the common lane length (its natural
+        # plan geometry — the ~500 symbols/lane optimum; see the
+        # LANE_BLOCK sweep table); smaller streams get fewer,
+        # same-length lanes — their total scan work stays ~their own
+        # bit count
         k_big = int(np.argmax([hf.bits for hf in hfs]))
         p_big = _plan(hfs[k_big].bits, H, md, avg_len=avgs[k_big])
-        G_eff = max(lane_block, p_big["G"])
-        B = max(MIN_B, -(-hfs[k_big].bits // G_eff))
+        B = max(MIN_B, p_big["B"])
     B = -(-int(B) // 32) * 32
     steps = B + H
     steps_p = -(-steps // SEG) * SEG
