@@ -141,19 +141,6 @@ def test_widescan_two_symbol_alphabet(rng):
     np.testing.assert_array_equal(out, raw)
 
 
-def test_widescan_bad_header_raises(rng):
-    # small 8-symbol alphabet: the point is the size check, not the
-    # wide-table envelope (a 256-symbol stream here costs 2.5 min of
-    # interpreter time for no extra coverage)
-    raw = rng.integers(0, 8, size=3000, dtype=np.uint8)
-    hf = encode_bytes(raw)
-    import dataclasses
-
-    bad = dataclasses.replace(hf, uncompressed_size=hf.uncompressed_size + 1)
-    with pytest.raises(RuntimeError):
-        decode_widescan(bad, lanes=1024, interpret=True)
-
-
 def test_widescan_oneshot_routing(rng):
     # the sub-2Mbit auto-route goes to the single-dispatch kernel off
     # the interpreter; under interpret it must be forced — decode both
@@ -177,6 +164,15 @@ def test_widescan_oneshot_routing(rng):
     np.testing.assert_array_equal(out, raw)
     # the default (oneshot=None) must NOT route under interpret: the
     # 4-kernel path is covered by every other widescan test
+
+    # size-check coverage (was a standalone test): a corrupt header must
+    # raise — same stream/geometry, so the jitted program is reused and
+    # this costs one interpreted eval, not a compile
+    import dataclasses
+
+    bad = dataclasses.replace(hf, uncompressed_size=hf.uncompressed_size + 1)
+    with pytest.raises(RuntimeError):
+        decode_widescan(bad, lanes=512, interpret=True, oneshot=True)
 
 
 @pytest.mark.interpret
@@ -234,8 +230,11 @@ def test_widescan_phase_locked_runs(rng):
     # wrong-parity candidate chains, deferring merges for hundreds of
     # bits — exercises the candidate late-exit resolution and the
     # adaptive full-length fix scan in the chunked kernels
-    base = np.tile(np.array([97, 98, 99, 100], dtype=np.uint8), 3000)
-    rare = rng.integers(0, 12000, size=20)
+    # 2000 tiles (8000 symbols): phase-locked runs still span whole
+    # lanes at this size (the p99 tail exercises late/stream-end
+    # resolution), at 2/3 the round-4 interpreter cost
+    base = np.tile(np.array([97, 98, 99, 100], dtype=np.uint8), 2000)
+    rare = rng.integers(0, 8000, size=20)
     data = base.copy()
     data[rare] = rng.choice(np.array([101, 102], dtype=np.uint8), size=20)
     hf = encode_bytes(data)
@@ -283,7 +282,17 @@ def test_widescan_indexed(rng):
     assert k == 256 and offsets.shape[0] == -(-raw.size // 256)
     out = decode_widescan_indexed(hf, offsets, k, interpret=True)
     np.testing.assert_array_equal(out, raw)
-    # odd-length blocks exercise the literal-0 chunk tail
+
+
+@pytest.mark.interpret
+def test_widescan_indexed_odd_blocks(rng):
+    # odd-length blocks exercise the literal-0 chunk tail (a second
+    # compile geometry: nightly, the even-block case stays per-commit)
+    from huffmandecoderongpus_tpu.ops.pallas_widescan import (
+        decode_widescan_indexed,
+    )
+
+    probs = np.array([0.35, 0.2, 0.12, 0.1, 0.08, 0.06, 0.05, 0.04])
     raw2 = rng.choice(np.arange(8, dtype=np.uint8), size=50001,
                       p=probs / probs.sum()).astype(np.uint8)
     hf2 = encode_bytes(raw2, block_symbols=129)
