@@ -246,7 +246,15 @@ def _oneshot_kernel(tab_ref, lim_ref, w2_ref, out_ref, n_ref,
                     late = em * jnp.where(jbit + pos + 1 >= B, 1, 0)
                     resolve = ((em * mbit) | late) > 0
                     rec_val = (mbit << 1) + (((jbit + pos) << 2) | 1)
-                    rec = jnp.where(resolve, rec_val, rec)
+                    # stream-end resolution (round 5, cf. _k1_kernel2):
+                    # on the final partial lane a chain past its stream
+                    # end can neither merge nor late-exit; resolve it
+                    # (mrg=0 -> raw count, row B-1 -> exit 0) so it
+                    # stops keeping its whole candidate region live
+                    ended = ((alive * started) > 0) & ~valid
+                    rec_e = ((B - 1) << 2) | 1
+                    rec = jnp.where(resolve, rec_val,
+                                    jnp.where(ended, rec_e, rec))
                     cum = jnp.where(resolve,
                                     jnp.broadcast_to(cum0, cum.shape), cum)
                     return node, cnt, rec, cum
