@@ -173,7 +173,11 @@ def run_suite(name: str, repeats: int = REPEATS) -> None:
         interpret = _jax.default_backend() != "tpu"
         tds = [load(n) for n in ("paper1", "news", "book2")]
         hfs = [td.cd for td in tds]
-        outs = decode_widescan_batch(hfs, interpret=interpret)
+        # auto_split=False: this suite demonstrates/verifies the ONE
+        # batched program on real corpora; production callers get the
+        # measured auto-split policy by default
+        outs = decode_widescan_batch(hfs, interpret=interpret,
+                                     auto_split=False)
         for td, out in zip(tds, outs):
             if not np.array_equal(out, td.ucd):
                 raise SystemExit(f"batch: {td.name} MISMATCH")
@@ -186,7 +190,7 @@ def run_suite(name: str, repeats: int = REPEATS) -> None:
         for _ in range(repeats):
             t0 = _time.perf_counter()
             decode_widescan_batch(hfs, check_size=False,
-                                  interpret=interpret)
+                                  interpret=interpret, auto_split=False)
             dt = _time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
             done += 1

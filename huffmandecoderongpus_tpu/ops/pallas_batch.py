@@ -247,15 +247,50 @@ def batch_decode_program(w2, tabw, lim2, c01, *, B, H, G, steps, steps_p,
     return denseT, n, total, fence
 
 
-def decode_widescan_batch(hfs, B=None, check_size=True, interpret=False):
-    """Decode N HuffFiles in ONE device program; returns a list of byte
-    arrays in input order.
+#: auto-split threshold: streams at or above this many compressed bits
+#: decode individually even when passed to decode_widescan_batch — the
+#: measured decision rule (see LANE_BLOCK) says a batch only wins where
+#: the dispatch floor dominates every member, and by ~0.5 Mbit a
+#: stream's own device time already exceeds the floor it would save.
+BATCH_SOLO_BITS = 1 << 19
+
+
+def decode_widescan_batch(hfs, B=None, check_size=True, interpret=False,
+                          auto_split=True):
+    """Decode N HuffFiles, batching the floor-bound members into ONE
+    device program; returns a list of byte arrays in input order.
+
+    ``auto_split`` (default): members with >= BATCH_SOLO_BITS compressed
+    bits — where the measured decision rule says the shared-geometry
+    costs exceed the saved dispatch floor — are decoded individually
+    through ``decode_widescan``'s routed path, and the batch covers only
+    the small members (all of them, when fewer than two are small).
+    Pass ``auto_split=False`` to force every stream into one program
+    (the measurement configuration of scripts/hw_batch.py).
 
     Streams outside the batch envelope raise EnvelopeError from staging
     (callers fall back); a stream whose lane overflows the shared dense
     buffer is re-decoded individually (decode_widescan's own fallback
     chain) without failing the rest of the batch."""
     from huffmandecoderongpus_tpu.ops.pallas_widescan import decode_widescan
+
+    if auto_split:
+        small = [k for k, hf in enumerate(hfs)
+                 if hf.bits < BATCH_SOLO_BITS]
+        if len(small) < len(hfs):
+            small_set = set(small) if len(small) >= 2 else set()
+            outs = [None] * len(hfs)
+            if small_set:
+                batched = decode_widescan_batch(
+                    [hfs[k] for k in small], B=B, check_size=check_size,
+                    interpret=interpret, auto_split=False)
+                for k, out in zip(small, batched):
+                    outs[k] = out
+            for k, hf in enumerate(hfs):
+                if k not in small_set:
+                    outs[k] = decode_widescan(hf, check_size=check_size,
+                                              interpret=interpret)
+            return outs
 
     st = stage_batch_inputs(hfs, B=B)
     p = st["plan"]

@@ -94,10 +94,60 @@ def test_batch_overflow_member_falls_back(monkeypatch):
 @pytest.mark.slow
 def test_batch_bigtable_corpora():
     """The reference's bigtable small corpora (paper1+news+book2,
-    mainrun.c:541-588) through ONE batched program, bit-exact."""
+    mainrun.c:541-588) through ONE batched program, bit-exact
+    (auto_split=False: this pins the one-program path on real corpora;
+    the default policy would solo the multi-Mbit members)."""
     from huffmandecoderongpus_tpu import data as corpus
 
     tds = [corpus.load_test_data(n) for n in ("paper1", "news", "book2")]
-    outs = pb.decode_widescan_batch([td.cd for td in tds], interpret=True)
+    outs = pb.decode_widescan_batch([td.cd for td in tds], interpret=True,
+                                    auto_split=False)
     for out, td in zip(outs, tds):
         np.testing.assert_array_equal(out, td.ucd)
+
+
+def _fake_solo_recorder(calls):
+    def fake_solo(hf, check_size=True, interpret=False):
+        calls.append(hf.bits)
+        from huffmandecoderongpus_tpu.native import simple_decode
+        return simple_decode(hf)
+    return fake_solo
+
+
+def test_batch_auto_split_all_solo(monkeypatch):
+    # fewer than two floor-bound members -> no batch program at all;
+    # every stream decodes through its routed solo path (cheap: no
+    # kernel compile, the solo path is stubbed with the native oracle)
+    rng = np.random.default_rng(15)
+    raws = [_text_like(rng, n, alphabet=8) for n in (4000, 8000, 16000)]
+    hfs = [encode_bytes(r) for r in raws]
+    assert hfs[0].bits < hfs[1].bits < hfs[2].bits
+    calls = []
+    import huffmandecoderongpus_tpu.ops.pallas_widescan as ws_mod
+
+    monkeypatch.setattr(ws_mod, "decode_widescan", _fake_solo_recorder(calls))
+    monkeypatch.setattr(pb, "BATCH_SOLO_BITS", hfs[1].bits)
+    outs = pb.decode_widescan_batch(hfs, interpret=True)
+    assert sorted(calls) == sorted(h.bits for h in hfs)
+    for out, raw in zip(outs, raws):
+        np.testing.assert_array_equal(out, raw)
+
+
+@pytest.mark.interpret
+def test_batch_auto_split_mixed(monkeypatch):
+    # the measured decision rule as API behavior: the member at or above
+    # BATCH_SOLO_BITS decodes through its routed solo path while the two
+    # small ones share one batched program
+    rng = np.random.default_rng(15)
+    raws = [_text_like(rng, n, alphabet=8) for n in (4000, 8000, 16000)]
+    hfs = [encode_bytes(r) for r in raws]
+    assert hfs[0].bits < hfs[1].bits < hfs[2].bits
+    calls = []
+    import huffmandecoderongpus_tpu.ops.pallas_widescan as ws_mod
+
+    monkeypatch.setattr(ws_mod, "decode_widescan", _fake_solo_recorder(calls))
+    monkeypatch.setattr(pb, "BATCH_SOLO_BITS", hfs[2].bits)
+    outs = pb.decode_widescan_batch(hfs, interpret=True)
+    assert calls == [hfs[2].bits]
+    for out, raw in zip(outs, raws):
+        np.testing.assert_array_equal(out, raw)

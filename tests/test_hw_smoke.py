@@ -101,6 +101,19 @@ oute = ons.decode_oneshot_staged(hfe2, ste)
 assert np.array_equal(oute, rawe), "one-shot envelope-edge mismatch"
 print("oneshot envelope-edge OK", flush=True)
 
+# batched multi-stream decode (round 5): two synthetic streams with
+# distinct trees through ONE device program, bit-exact on the chip
+from huffmandecoderongpus_tpu.ops.pallas_batch import decode_widescan_batch
+rb = np.random.default_rng(5)
+wb1 = rb.random(8) * 3 + 1
+rawb1 = rb.choice(np.arange(8, dtype=np.uint8), size=40_000,
+                  p=wb1 / wb1.sum()).astype(np.uint8)
+rawb2 = rb.choice(np.arange(16, dtype=np.uint8), size=60_000).astype(np.uint8)
+houts = decode_widescan_batch([encode_bytes(rawb1), encode_bytes(rawb2)])
+assert np.array_equal(houts[0], rawb1) and np.array_equal(houts[1], rawb2), \
+    "batched decode mismatch on hardware"
+print("batched decode OK", flush=True)
+
 # device encoder (round 3 envelope): full 256-symbol alphabet +
 # device E3 placement, byte-identical to the host encoder
 from huffmandecoderongpus_tpu.ops.pallas_encode import encode_pallas
@@ -134,6 +147,7 @@ def test_pallas_kernels_on_hardware():
     assert "widescan wide-table OK" in proc.stdout
     assert "widescan md1-deep OK" in proc.stdout
     assert "oneshot envelope-edge OK" in proc.stdout
+    assert "batched decode OK" in proc.stdout
     assert "encode_pallas full-alphabet OK" in proc.stdout
 
 
