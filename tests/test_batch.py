@@ -106,6 +106,30 @@ def test_batch_bigtable_corpora():
         np.testing.assert_array_equal(out, td.ucd)
 
 
+@pytest.mark.interpret
+def test_batch_fuzz_random_batches():
+    # property fuzz over batch shapes: random member counts, alphabets
+    # and sizes (incl. sub-lane tiny streams) through one program each
+    rng = np.random.default_rng(99)
+    for trial in range(3):
+        n_streams = int(rng.integers(2, 5))
+        raws, hfs = [], []
+        for _ in range(n_streams):
+            alpha = int(rng.choice([4, 8, 16, 32]))
+            size = int(rng.integers(50, 15000))
+            raw = _text_like(rng, size, alphabet=alpha,
+                             skew=float(rng.uniform(0.5, 3.0)))
+            raws.append(raw)
+            hfs.append(encode_bytes(raw))
+        try:
+            outs = pb.decode_widescan_batch(hfs, interpret=True,
+                                            auto_split=False)
+        except ws.EnvelopeError:
+            continue  # an md=1 draw; the envelope check is its own test
+        for out, raw in zip(outs, raws):
+            np.testing.assert_array_equal(out, raw)
+
+
 def _fake_solo_recorder(calls):
     def fake_solo(hf, check_size=True, interpret=False):
         calls.append(hf.bits)
