@@ -254,6 +254,14 @@ def main() -> None:
             fence, out = run()
             sync(fence)
             once = time.perf_counter() - t0  # post-compile single run
+            if best is not None and once > 5 * best[0] + 1.0:
+                # a candidate 5x (plus a relay round-trip) slower than the
+                # current best cannot win; skip its timing loop — the
+                # slow candidates' loops (spec_xla: ~100 s) only age the
+                # relay session after the artifact is already decided
+                print(f"# {name}: single run {once*1e3:.0f} ms, "
+                      "outclassed; skipped timing", file=sys.stderr)
+                continue
             fast = once < 1.0
             KA, KB = (10, 30) if fast else (1, 3)
             # 25 interleaved trials: the min round-trip draw of each batch
