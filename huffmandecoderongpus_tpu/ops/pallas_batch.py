@@ -132,8 +132,10 @@ def stage_batch_inputs(hfs, B=None, md_force=None, lane_block=None):
         # bit count
         k_big = int(np.argmax([hf.bits for hf in hfs]))
         p_big = _plan(hfs[k_big].bits, H, md, avg_len=avgs[k_big])
-        B = max(MIN_B, p_big["B"])
-    B = -(-int(B) // 32) * 32
+        B = p_big["B"]
+    # the MIN_B floor applies to explicit B too: entry offsets (< H) and
+    # the candidate halo must sit well inside a lane
+    B = -(-max(MIN_B, int(B)) // 32) * 32
     steps = B + H
     steps_p = -(-steps // SEG) * SEG
     hard = min(B // md + 2, steps_p // md)
@@ -166,10 +168,17 @@ def stage_batch_inputs(hfs, B=None, md_force=None, lane_block=None):
     G = total_G
     R = G // 128
     # row-group blocking: largest HW-validated block dividing every
-    # stream's row count (all multiples of 32 by LANE_BLOCK; smaller
-    # only under an explicit lane_block override)
-    RB = 32 if all((g // 128) % 32 == 0 for g in g_pad) else (
-        16 if all((g // 128) % 16 == 0 for g in g_pad) else 8)
+    # stream's row count (all multiples of 8 at the default 1024-lane
+    # block; an override below 1024 lanes could leave no valid block —
+    # EnvelopeError rather than a silently truncated grid)
+    for rb in (32, 16, 8):
+        if all((g // 128) % rb == 0 for g in g_pad):
+            RB = rb
+            break
+    else:
+        raise EnvelopeError(
+            f"lane block {lane_block} leaves stream row counts "
+            f"{[g // 128 for g in g_pad]} with no valid row-group block")
     # static row-group boundaries between streams (for the table index
     # maps) and the stream-final live lanes (for the exit-map reset)
     tab_bounds = tuple(np.cumsum([g // 128 // RB for g in g_pad])[:-1])

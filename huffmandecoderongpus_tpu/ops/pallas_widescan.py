@@ -2247,8 +2247,8 @@ def decode_widescan_indexed(hf, offsets, block_symbols: int,
     index.  Raises EnvelopeError for callers to fall back."""
     st = stage_widescan_indexed(hf, offsets, block_symbols)
     p = st["plan"]
-    if block_symbols > p["ORP"]:
-        raise EnvelopeError("index blocks overflow the dense buffer")
+    # (no ORP overflow check: staging sizes ORP = ceil(block_symbols/128)
+    # *128 >= block_symbols, so indexed lanes cannot overflow)
     denseT, _fence = wide_decode_indexed_program(
         st["raw"], st["sh"], st["tabw"], st["lim2"], B=p["B"], H=st["H"],
         G=p["G"], steps_p=p["steps_p"], SEG=p["SEG"], UNROLL=p["UNROLL"],

@@ -509,8 +509,8 @@ def lane_sharded_indexed_runner(hf, offsets, block_symbols: int,
     st = ws.stage_widescan_indexed(hf, offsets, block_symbols,
                                    lane_multiple=512 * D)
     p = st["plan"]
-    if block_symbols > p["ORP"]:
-        raise ws.EnvelopeError("index blocks overflow the dense buffer")
+    # (no ORP overflow check: staging sizes ORP = ceil(block_symbols/128)
+    # *128 >= block_symbols, so indexed lanes cannot overflow)
     G = p["G"]
     if G % (128 * D):
         raise ws.EnvelopeError(

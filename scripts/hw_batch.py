@@ -11,41 +11,10 @@ The batch pays the ~0.11 ms per-program dispatch floor once instead of
 N times; this script produces the DESIGN.md aggregate table.
 """
 import sys
-import time
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-
-def floor_s(reps=10):
-    f = jax.jit(lambda x: x + 1)
-    x = jnp.zeros(8, jnp.int32)
-    np.asarray(f(x))
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        np.asarray(f(x))[0]
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
-
-
-def timeit(fn, fence, K=10, trials=25):
-    out = fn()
-    np.asarray(fence(out)).reshape(-1)[:1]
-
-    def batch(k):
-        t0 = time.perf_counter()
-        for _ in range(k):
-            o = fn()
-        np.asarray(fence(o)).reshape(-1)[:1]
-        return time.perf_counter() - t0
-
-    las, lbs = [], []
-    for _ in range(trials):
-        las.append(batch(K))
-        lbs.append(batch(3 * K))
-    return max(min(lbs) - min(las), 1e-9) / (2 * K), out
+from _timing import floor_s, timeit
 
 
 def main():

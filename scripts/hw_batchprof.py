@@ -5,29 +5,15 @@ Env: HUFF_BATCH_B forces the common lane bit length.
 """
 import os
 import sys
-import time
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from _timing import timeit as _timeit
+
 
 def timeit(fn, fence, K=10, trials=14):
-    out = fn()
-    np.asarray(fence(out)).reshape(-1)[:1]
-
-    def batch(k):
-        t0 = time.perf_counter()
-        for _ in range(k):
-            o = fn()
-        np.asarray(fence(o)).reshape(-1)[:1]
-        return time.perf_counter() - t0
-
-    las, lbs = [], []
-    for _ in range(trials):
-        las.append(batch(K))
-        lbs.append(batch(3 * K))
-    return max(min(lbs) - min(las), 1e-9) / (2 * K)
+    return _timeit(fn, fence, K=K, trials=trials)[0]
 
 
 def main():

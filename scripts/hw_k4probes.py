@@ -13,29 +13,10 @@ differencing.  DESIGN.md's round-5 K4 note carries the verdict.
 Usage: python scripts/hw_k4probes.py [corpus]
 """
 import sys
-import time
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-
-def timeit(fn, fence, K=10, trials=25):
-    out = fn()
-    np.asarray(fence(out)).reshape(-1)[:1]
-
-    def batch(k):
-        t0 = time.perf_counter()
-        for _ in range(k):
-            o = fn()
-        np.asarray(fence(o)).reshape(-1)[:1]
-        return time.perf_counter() - t0
-
-    las, lbs = [], []
-    for _ in range(trials):
-        las.append(batch(K))
-        lbs.append(batch(3 * K))
-    return max(min(lbs) - min(las), 1e-9) / (2 * K), out
+from _timing import timeit
 
 
 def main():

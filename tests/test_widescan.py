@@ -117,6 +117,14 @@ def test_widescan_text_like(rng):
     hf = encode_bytes(raw)
     out = decode_widescan(hf, lanes=1024, interpret=True)
     np.testing.assert_array_equal(out, raw)
+    # 4-KERNEL-path size check: a corrupt header must raise (the
+    # one-shot path's check is covered in the default-gate routing
+    # test); same stream/geometry reuses this test's compiled program
+    import dataclasses
+
+    bad = dataclasses.replace(hf, uncompressed_size=hf.uncompressed_size + 1)
+    with pytest.raises(RuntimeError):
+        decode_widescan(bad, lanes=1024, interpret=True, oneshot=False)
 
 
 @pytest.mark.interpret
